@@ -1,0 +1,145 @@
+"""Progressive-growing Discriminator, TPU-native.
+
+Mirrors the reference architecture (network.py:142-240) as a pure-functional
+JAX model. Blocks are stored high-res -> low-res exactly like the reference's
+``nn.ModuleList`` (network.py:214-217); the entry block for a given depth is
+``blocks[-(depth+1)]`` (network.py:227). ``depth`` is static (one XLA graph
+per stage), ``alpha`` is traced.
+
+The minibatch-stddev statistic (network.py:174-187) is a *global-batch*
+scalar; expressed as a plain global mean it stays correct under a sharded
+batch axis (GSPMD inserts the cross-replica collective).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.primitives import (
+    avg_pool_2x,
+    conv_init,
+    dense_init,
+    equalized_conv2d,
+    equalized_dense,
+    minibatch_stddev,
+    nf,
+)
+
+
+@dataclass
+class Discriminator:
+    """Image -> Wasserstein score critic (reference network.py:190-240)."""
+
+    dataset_shape: tuple
+    fmap_base: int = 4096
+    fmap_decay: float = 1.0
+    fmap_max: int = 512
+    wscale: bool = True
+    pixelnorm: bool = False
+    leakyrelu: bool = True
+    dtype: object = field(default=jnp.float32, repr=False)
+
+    def __post_init__(self):
+        resolution = int(self.dataset_shape[-1])
+        self.num_channels = int(self.dataset_shape[1])
+        self.R = int(math.log2(resolution))
+        assert resolution == 2 ** self.R and resolution >= 4, \
+            "resolution must be a power of two >= 4 (network.py:204)"
+        self.max_depth = self.R - 2  # len(blocks) - 1 in the reference (network.py:223)
+        self.eps = 1e-8
+
+    def nf(self, stage: int) -> int:
+        return nf(stage, self.fmap_base, self.fmap_decay, self.fmap_max)
+
+    def resolution_at(self, depth: int) -> int:
+        return 4 * (2 ** depth)
+
+    @property
+    def act(self) -> str:
+        return "lrelu" if self.leakyrelu else "relu"
+
+    # -- params -------------------------------------------------------------
+    def init(self, key: jax.Array) -> dict:
+        """Blocks high-res -> low-res: ``DBlock(nf(i), nf(i-1))`` for
+        i = R-1 .. 2, then the 4x4 ``DLastBlock(nf(1), nf(0))``
+        (network.py:214-217), plus the final linear (network.py:219)."""
+        n_blocks = self.R - 1
+        keys = jax.random.split(key, n_blocks + 1)
+        blocks = []
+        for k, i in zip(keys[:-2], range(self.R - 1, 1, -1)):
+            k1, k2, k3 = jax.random.split(k, 3)
+            blocks.append({
+                "fromrgb": conv_init(k1, 1, self.num_channels, self.nf(i),
+                                     self.wscale, self.dtype),
+                "c1": conv_init(k2, 3, self.nf(i), self.nf(i), self.wscale, self.dtype),
+                "c2": conv_init(k3, 3, self.nf(i), self.nf(i - 1), self.wscale, self.dtype),
+            })
+        k1, k2, k3 = jax.random.split(keys[-2], 3)
+        blocks.append({
+            "fromrgb": conv_init(k1, 1, self.num_channels, self.nf(1),
+                                 self.wscale, self.dtype),
+            "c1": conv_init(k2, 3, self.nf(1) + 1, self.nf(1), self.wscale, self.dtype),
+            "c2": conv_init(k3, 4, self.nf(1), self.nf(0), self.wscale, self.dtype),
+        })
+        linear = dense_init(keys[-1], self.nf(0), 1, self.dtype)
+        return {"blocks": tuple(blocks), "linear": linear}
+
+    # -- forward ------------------------------------------------------------
+    def _conv(self, p, x, *, pad, use_pixelnorm=None, act="default"):
+        return equalized_conv2d(
+            p, x, padding=pad, wscale=self.wscale,
+            act=self.act if act == "default" else act,
+            use_pixelnorm=self.pixelnorm if use_pixelnorm is None else use_pixelnorm,
+            eps=self.eps,
+        )
+
+    def _fromrgb(self, p, x):
+        # PGConv2d(num_channels, ch, ksize=1, pad=0, pixelnorm=False): act
+        # keeps its default (lrelu/relu) — reference network.py:145,160.
+        return self._conv(p["fromrgb"], x, pad=0, use_pixelnorm=False)
+
+    def _block(self, p, h, is_last: bool, first: bool):
+        if first:
+            h = self._fromrgb(p, h)
+        if is_last:
+            h = minibatch_stddev(h)  # network.py:168
+            h = self._conv(p["c1"], h, pad=1)
+            h = self._conv(p["c2"], h, pad=0)  # 4x4 valid -> 1x1 spatial
+        else:
+            h = self._conv(p["c1"], h, pad=1)
+            h = self._conv(p["c2"], h, pad=1)
+        return h
+
+    def apply(self, params: dict, x: jax.Array, depth: int,
+              alpha: jax.Array | float) -> jax.Array:
+        """Forward at static ``depth`` (reference network.py:225-240).
+
+        x: NHWC at resolution ``4 * 2**depth``; returns (N, 1) scores.
+        """
+        if not (0 <= depth <= self.max_depth):
+            raise ValueError(f"depth {depth} out of range [0, {self.max_depth}]")
+        blocks = params["blocks"]
+        n = len(blocks)
+        x = x.astype(self.dtype)
+        h = self._block(blocks[n - (depth + 1)], x, is_last=(depth == 0), first=True)
+        if depth > 0:
+            h = avg_pool_2x(h)
+            # fade-in blend with the next block's fromRGB of the downsampled
+            # input (network.py:230-233); alpha traced, always blended.
+            x_low = avg_pool_2x(x)
+            prev = self._fromrgb(blocks[n - depth], x_low)
+            alpha_c = jnp.asarray(alpha, self.dtype)
+            h = h * alpha_c + (1.0 - alpha_c) * prev
+        for i in range(depth, 0, -1):
+            h = self._block(blocks[n - i], h, is_last=(i == 1), first=False)
+            if i > 1:
+                h = avg_pool_2x(h)
+        h = h.reshape(h.shape[0], -1)  # squeeze 1x1 spatial -> (N, nf(0))
+        return equalized_dense(params["linear"], h)
+
+    def num_params(self, params: dict) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,147 @@
+"""Progressive-growing Generator, TPU-native.
+
+Mirrors the reference architecture (network.py:44-139) as a pure-functional
+JAX model: a model *definition* object holds the static configuration and
+exposes ``init(key) -> params`` and ``apply(params, z, depth, alpha) -> imgs``
+where ``depth`` is a **static** Python int (each depth is its own XLA graph —
+the progressive-growing stage transition is a recompilation boundary) and
+``alpha`` is a **traced** scalar (fade-in progress changes every iteration
+without recompiling).
+
+Differences from the reference, by design (TPU-first):
+- NHWC layout (reference: NCHW).
+- The fade-in blend ``(1-alpha)*prev_rgb + alpha*rgb`` (network.py:131-138) is
+  always computed, with ``alpha`` traced; at alpha==1 it equals the stable
+  graph, so the fade and stable phases share one compiled graph per depth.
+- The prev-stage ``toRGB`` is applied to the *upsampled features* exactly as
+  the reference does (network.py:127-135), preserving its quirk (1x1 conv
+  commutes with nearest upsample, so this matches Karras' formulation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.primitives import (
+    conv_init,
+    equalized_conv2d,
+    nf,
+    pixelnorm,
+    upsample_nearest_2x,
+)
+
+
+def _block_init(key, ch_in, ch_out, num_channels, first, wscale, dtype):
+    """One G stage: two convs + its own toRGB (network.py:44-72)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    c1_ksize = 4 if first else 3
+    return {
+        "c1": conv_init(k1, c1_ksize, ch_in, ch_out, wscale, dtype),
+        "c2": conv_init(k2, 3, ch_out, ch_out, wscale, dtype),
+        "torgb": conv_init(k3, 1, ch_out, num_channels, wscale, dtype),
+    }
+
+
+@dataclass
+class Generator:
+    """Latent -> image generator (reference network.py:75-139).
+
+    ``dataset_shape`` follows the reference convention (N, C, H, W): the last
+    dim is the full output resolution, dim 1 the channel count
+    (network.py:88-89).
+    """
+
+    dataset_shape: tuple
+    fmap_base: int = 4096
+    fmap_decay: float = 1.0
+    fmap_max: int = 512
+    latent_size: int | None = 512
+    normalize_latents: bool = True
+    wscale: bool = True
+    pixelnorm: bool = True
+    leakyrelu: bool = True
+    dtype: object = field(default=jnp.float32, repr=False)
+
+    def __post_init__(self):
+        resolution = int(self.dataset_shape[-1])
+        self.num_channels = int(self.dataset_shape[1])
+        self.R = int(math.log2(resolution))
+        assert resolution == 2 ** self.R and resolution >= 4, \
+            "resolution must be a power of two >= 4 (network.py:92)"
+        if self.latent_size is None:
+            self.latent_size = self.nf(0)
+        self.max_depth = self.R - 2  # len(blocks) in the reference (network.py:116)
+        self.eps = 1e-8
+
+    # -- static schedule ----------------------------------------------------
+    def nf(self, stage: int) -> int:
+        return nf(stage, self.fmap_base, self.fmap_decay, self.fmap_max)
+
+    def resolution_at(self, depth: int) -> int:
+        return 4 * (2 ** depth)
+
+    @property
+    def act(self) -> str:
+        return "lrelu" if self.leakyrelu else "relu"
+
+    # -- params -------------------------------------------------------------
+    def init(self, key: jax.Array) -> dict:
+        keys = jax.random.split(key, self.max_depth + 1)
+        block0 = _block_init(keys[0], self.latent_size, self.nf(1),
+                             self.num_channels, True, self.wscale, self.dtype)
+        blocks = tuple(
+            _block_init(keys[i - 1], self.nf(i - 1), self.nf(i),
+                        self.num_channels, False, self.wscale, self.dtype)
+            for i in range(2, self.R)
+        )
+        return {"block0": block0, "blocks": blocks}
+
+    # -- forward ------------------------------------------------------------
+    def _conv(self, p, x, *, ksize, pad, use_pixelnorm=None, act="default"):
+        return equalized_conv2d(
+            p, x, padding=pad, wscale=self.wscale,
+            act=self.act if act == "default" else act,
+            use_pixelnorm=self.pixelnorm if use_pixelnorm is None else use_pixelnorm,
+            eps=self.eps,
+        )
+
+    def _block(self, p, h, first: bool):
+        h = self._conv(p["c1"], h, ksize=4 if first else 3, pad=3 if first else 1)
+        h = self._conv(p["c2"], h, ksize=3, pad=1)
+        return h
+
+    def _torgb(self, p, h):
+        return self._conv(p["torgb"], h, ksize=1, pad=0,
+                          use_pixelnorm=False, act=None)
+
+    def apply(self, params: dict, z: jax.Array, depth: int,
+              alpha: jax.Array | float) -> jax.Array:
+        """Forward pass at a static ``depth`` (reference network.py:118-139).
+
+        z: (N, latent_size); returns NHWC images at ``4 * 2**depth``.
+        """
+        if not (0 <= depth <= self.max_depth):
+            raise ValueError(f"depth {depth} out of range [0, {self.max_depth}]")
+        h = z.reshape(z.shape[0], 1, 1, z.shape[-1]).astype(self.dtype)
+        if self.normalize_latents:
+            h = pixelnorm(h, self.eps)
+        h = self._block(params["block0"], h, first=True)
+        if depth == 0:
+            return self._torgb(params["block0"], h)
+        for i in range(depth - 1):
+            h = upsample_nearest_2x(h)
+            h = self._block(params["blocks"][i], h, first=False)
+        h = upsample_nearest_2x(h)
+        ult = self._block(params["blocks"][depth - 1], h, first=False)
+        ult = self._torgb(params["blocks"][depth - 1], ult)
+        prev_p = params["blocks"][depth - 2] if depth > 1 else params["block0"]
+        prev_rgb = self._torgb(prev_p, h)
+        alpha = jnp.asarray(alpha, self.dtype)
+        return prev_rgb * (1.0 - alpha) + ult * alpha
+
+    def num_params(self, params: dict) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,171 @@
+"""Core PGGAN math primitives, TPU-first.
+
+Everything here is a pure function over ``jnp`` arrays in **NHWC** layout (the
+TPU-native conv layout; the PyTorch reference is NCHW). Semantics mirror the
+reference ``network.py``:
+
+- equalized-learning-rate ("wscale") convolution: reference network.py:7-41
+  computes an empirical per-layer constant ``c = sqrt(mean(w_init**2))`` from a
+  kaiming-normal init and divides the stored weight by it, re-multiplying the
+  input by ``c`` at runtime. Since kaiming-normal has ``E[w**2] = 2/fan_in``
+  exactly, we fold the equivalent **static** He constant
+  ``c = sqrt(2/fan_in)`` into the forward pass: weights are stored unit-normal
+  and scaled by ``c`` at use. This is a compile-time constant XLA folds into
+  the conv — no runtime cost, identical statistics.
+- pixelwise feature norm: reference network.py:37-40.
+- minibatch stddev: a single **global scalar** stddev of the whole activation
+  tensor appended as one channel — reference network.py:174-187 (note: the
+  reference deliberately differs from Karras' grouped version). Under data
+  parallelism the batch axis may be sharded; because this is expressed as a
+  plain global ``jnp.mean``, GSPMD inserts the cross-replica collective
+  automatically, preserving the global-batch semantics.
+- nearest 2x upsample / 2x2 avg-pool: reference network.py:127-129, 229-238.
+- channel schedule ``nf``: reference network.py:94-95.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def nf(stage: int, fmap_base: int = 4096, fmap_decay: float = 1.0,
+       fmap_max: int = 512) -> int:
+    """Per-stage feature map count (reference network.py:94-95)."""
+    return min(int(fmap_base / (2.0 ** (stage * fmap_decay))), fmap_max)
+
+
+def he_constant(fan_in: int, gain: float = math.sqrt(2.0)) -> float:
+    """Static equalized-LR constant ``c = gain / sqrt(fan_in)``.
+
+    Matches the expectation of the reference's empirical
+    ``sqrt(mean(kaiming_normal(w)**2))`` (network.py:19).
+    """
+    return gain / math.sqrt(fan_in)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def pixelnorm(x: jax.Array, eps: float = 1e-8, axis: int = -1) -> jax.Array:
+    """Pixelwise feature vector normalization (reference network.py:37-40).
+
+    ``axis`` is the channel axis (-1 for NHWC).
+    """
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=axis, keepdims=True) + eps)
+
+
+def minibatch_stddev(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Append one channel holding the global scalar stddev of ``x``.
+
+    Reference network.py:174-187 (``Tstdeps`` + ``MinibatchStddev``): the
+    statistic is ``sqrt(mean((x - mean(x))**2) + 1e-8)`` over the *entire*
+    (N, H, W, C) tensor, broadcast to an (N, H, W, 1) channel. When the batch
+    axis is sharded over a data-parallel mesh, the global means here become
+    XLA cross-replica reductions automatically (GSPMD), keeping the statistic
+    a true global-batch quantity.
+    """
+    s = jnp.sqrt(jnp.mean(jnp.square(x - jnp.mean(x))) + eps)
+    tile = jnp.broadcast_to(s, x.shape[:-1] + (1,)).astype(x.dtype)
+    return jnp.concatenate([x, tile], axis=-1)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x spatial upsample, NHWC.
+
+    Equivalent of ``F.upsample(scale_factor=2)`` (reference network.py:127).
+    Implemented as reshape+broadcast (cheaper than gather for XLA).
+    """
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 average pool, NHWC (``F.avg_pool2d(h, 2)``,
+    reference network.py:229)."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+    return summed * 0.25
+
+
+# ---------------------------------------------------------------------------
+# Equalized-LR layers (init + apply as pure functions)
+# ---------------------------------------------------------------------------
+
+def conv_init(key: jax.Array, ksize: int, ch_in: int, ch_out: int,
+              wscale: bool = True, dtype=jnp.float32) -> dict:
+    """Initialize an equalized-LR conv layer's parameters.
+
+    Weights are HWIO. With ``wscale`` the stored weight is unit-normal and the
+    He constant is applied at runtime (see module docstring); without it the
+    weight keeps torch's default Conv2d init scale (uniform
+    ``+-1/sqrt(fan_in)``) to mirror reference behaviour when wscale=False.
+    """
+    shape = (ksize, ksize, ch_in, ch_out)
+    fan_in = ksize * ksize * ch_in
+    if wscale:
+        w = jax.random.normal(key, shape, dtype)
+    else:
+        bound = 1.0 / math.sqrt(fan_in)
+        w = jax.random.uniform(key, shape, dtype, -bound, bound)
+    b = jnp.zeros((ch_out,), dtype)
+    return {"w": w, "b": b}
+
+
+def dense_init(key: jax.Array, ch_in: int, ch_out: int,
+               dtype=jnp.float32) -> dict:
+    """torch ``nn.Linear`` default init (uniform +-1/sqrt(fan_in)),
+    matching the reference's final D layer (network.py:219)."""
+    bound = 1.0 / math.sqrt(ch_in)
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, (ch_in, ch_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (ch_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def equalized_conv2d(params: dict, x: jax.Array, *, padding: int = 1,
+                     stride: int = 1, wscale: bool = True,
+                     act: str | None = "lrelu",
+                     use_pixelnorm: bool = True,
+                     eps: float = 1e-8) -> jax.Array:
+    """The reference's ``PGConv2d`` forward (network.py:32-41), NHWC.
+
+    conv(x * c) -> optional activation -> optional pixelnorm. The runtime
+    wscale constant is folded into the weight (scalar commutes with conv).
+    """
+    w = params["w"]
+    ksize, _, ch_in, _ = w.shape
+    if wscale:
+        w = w * he_constant(ksize * ksize * ch_in)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + params["b"]
+    if act == "lrelu":
+        y = leaky_relu(y, 0.2)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act is not None:
+        raise ValueError(f"unknown act: {act!r}")
+    if use_pixelnorm:
+        y = pixelnorm(y, eps)
+    return y
+
+
+def equalized_dense(params: dict, x: jax.Array) -> jax.Array:
+    """Plain linear layer (reference's final D ``nn.Linear``)."""
+    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
