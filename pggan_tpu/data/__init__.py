@@ -1,0 +1,20 @@
+from pggan_tpu.data.datasets import (
+    DepthDataset,
+    FolderDataset,
+    DefaultImageFolderDataset,
+    SoundImageDataset,
+    H5Dataset,
+    SyntheticDataset,
+)
+from pggan_tpu.data.loader import DataIterator, InfiniteRandomSampler
+
+__all__ = [
+    "DepthDataset",
+    "FolderDataset",
+    "DefaultImageFolderDataset",
+    "SoundImageDataset",
+    "H5Dataset",
+    "SyntheticDataset",
+    "DataIterator",
+    "InfiniteRandomSampler",
+]

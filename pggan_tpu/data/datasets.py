@@ -1,0 +1,383 @@
+"""Depth-aware multi-resolution datasets (reference dataset.py).
+
+A *depth* dataset serves items at the resolution of the model's current
+growth stage (``model_depth + model_dataset_depth_offset``), with an
+alpha-fade blend against the next-coarser level during stage transitions and
+a dynamic-range remap to the model's (-1, 1) domain (reference
+dataset.py:31-70).
+
+TPU-native conventions:
+- Items and batches are **HWC float32** (channels-last, matching the NHWC
+  compute path). The ``shape`` property keeps the reference's (N, C, H, W)
+  descriptor convention because model construction reads channels from
+  ``shape[1]`` and resolution from ``shape[-1]`` (reference train.py:123-124,
+  network.py:88-89).
+- Downsampling by ``s`` is an exact s x s block mean (mathematically equal to
+  the reference's strided-phase accumulation, dataset.py:244-251), vectorized
+  as a reshape-mean.
+- Datasets are served by thread-based loaders (see ``loader.py``), so
+  ``alpha`` updates are visible to in-flight workers immediately — unlike the
+  reference, whose forked DataLoader workers kept the alpha captured at fork
+  time (dataset.py's alpha is mutated cross-process at plugins.py:76 but
+  fork-copied workers never see it). This framework implements the *intended*
+  fade semantics.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from pggan_tpu.utils.misc import adjust_dynamic_range
+
+
+def box_downsample(img_hwc: np.ndarray, factor: int) -> np.ndarray:
+    """Exact block-mean downsample of an HWC image by an integer factor."""
+    if factor == 1:
+        return img_hwc
+    h, w, c = img_hwc.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = img_hwc.astype(np.float32).reshape(
+        h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(1, 3))
+
+
+def _alpha_fade_blend(img_hwc: np.ndarray, alpha: float) -> np.ndarray:
+    """Blend with the 2x2-box-downsampled-then-reupsampled self (reference
+    dataset.py:109-113/238-242): simulates the coarser stage during fade-in."""
+    t = box_downsample(img_hwc, 2)
+    t = t.repeat(2, axis=0).repeat(2, axis=1)
+    return img_hwc + (t - img_hwc) * (1.0 - alpha)
+
+
+class DepthDataset:
+    """Abstract depth-aware dataset (reference dataset.py:31-70)."""
+
+    def __init__(self,
+                 model_dataset_depth_offset=2,  # model depth 0 <-> 4x4 data
+                 model_initial_depth=0,
+                 alpha=1.0,
+                 range_in=(0, 255),
+                 range_out=(-1, 1)):
+        self.model_depth = model_initial_depth
+        self.alpha = alpha
+        self.model_dataset_depth_offset = model_dataset_depth_offset
+        self.range_in = tuple(range_in)
+        self.range_out = tuple(range_out)
+
+    @property
+    def data(self):
+        """List indexed by dataset depth; entry d is an (N, h, w, C) array at
+        resolution 2**d (or None for unmaterialized levels)."""
+        raise NotImplementedError
+
+    @property
+    def shape(self):
+        """(N, C, H, W) full-resolution descriptor (reference convention)."""
+        full = self.data[-1]
+        n, h, w, c = full.shape
+        return (n, c, h, w)
+
+    def alpha_fade(self, datapoint):
+        return _alpha_fade_blend(datapoint, self.alpha)
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, item) -> np.ndarray:
+        datapoint = self.data[self.model_depth
+                              + self.model_dataset_depth_offset][item]
+        datapoint = datapoint.astype(np.float32)
+        if self.alpha < 1.0:
+            datapoint = self.alpha_fade(datapoint)
+        datapoint = adjust_dynamic_range(datapoint, self.range_in,
+                                         self.range_out)
+        return datapoint.astype(np.float32)
+
+    def close(self):
+        pass
+
+
+class H5Dataset(DepthDataset):
+    """Karras-format HDF5 dataset (reference ``OldH5Dataset``,
+    dataset.py:73-116): one ``data{r}x{r}`` array per resolution, loaded
+    fully into RAM. On-disk arrays are NCHW uint8; stored here as NHWC."""
+
+    def __init__(self,
+                 h5_path="datasets/cifar10-32.h5",
+                 model_dataset_depth_offset=2,
+                 max_images=None,
+                 model_initial_depth=0,
+                 alpha=1.0,
+                 range_in=(0, 255),
+                 range_out=(-1, 1)):
+        super().__init__(model_dataset_depth_offset, model_initial_depth,
+                         alpha, range_in, range_out)
+        import h5py
+        self.h5_path = h5_path
+        with h5py.File(h5_path, "r") as f:
+            resolutions = sorted({v.shape[-1] for v in f.values()})
+            levels = {}
+            for r in resolutions:
+                arr = np.asarray(f[f"data{r}x{r}"])
+                if max_images is not None:
+                    arr = arr[:max_images]
+                levels[int(math.log2(r))] = arr.transpose(0, 2, 3, 1)  # -> NHWC
+        max_level = max(levels)
+        self._data = [levels.get(d) for d in range(max_level + 1)]
+
+    @property
+    def data(self):
+        return self._data
+
+    def __len__(self):
+        return self._data[-1].shape[0]
+
+
+class FolderDataset(DepthDataset):
+    """Abstract directory-of-files dataset with an optional fully-preloaded
+    multi-resolution pyramid (reference dataset.py:119-206).
+
+    Subclasses implement ``load_file`` (-> HWC uint8/float array at the max
+    depth), ``create_datapoint_from_depth`` and ``infer_max_dataset_depth``.
+    """
+
+    def __init__(self,
+                 dir_path,
+                 max_dataset_depth=None,
+                 create_unused_depths=False,
+                 preload=False,
+                 model_dataset_depth_offset=2,
+                 model_initial_depth=0,
+                 alpha=1.0,
+                 range_in=(0, 255),
+                 range_out=(-1, 1)):
+        super().__init__(model_dataset_depth_offset, model_initial_depth,
+                         alpha, range_in, range_out)
+        self.dir_path = dir_path
+        self.files = sorted(os.path.join(dir_path, x)
+                            for x in os.listdir(dir_path))
+        if not self.files:
+            raise ValueError(f"no files found in {dir_path}")
+        self.max_dataset_depth = max_dataset_depth
+        if self.max_dataset_depth is None:
+            self.max_dataset_depth = self.infer_max_dataset_depth(
+                self.load_file(0))
+        self.preload = preload
+        self.min_dataset_depth = (0 if preload and create_unused_depths
+                                  else self.model_dataset_depth_offset)
+        self._data = [None] * (self.max_dataset_depth + 1)
+        if self.preload:
+            self._preload_pyramid()
+
+    def _preload_pyramid(self):
+        """Materialize every depth level top-down: load full-res once, then
+        derive each coarser level from the one above (reference
+        dataset.py:141-162)."""
+        for depth in range(self.max_dataset_depth,
+                           self.min_dataset_depth - 1, -1):
+            items = []
+            for i in range(len(self.files)):
+                if depth == self.max_dataset_depth:
+                    dp = self.load_file(i)
+                else:
+                    dp = self.get_datapoint_version(
+                        self._data[depth + 1][i], depth + 1, depth)
+                items.append(dp)
+            first_shape = items[0].shape
+            for dp in items[1:]:
+                assert dp.shape == first_shape, \
+                    "all files must share one shape (dataset.py:160)"
+            self._data[depth] = np.stack(items, axis=0)
+
+    @property
+    def data(self):
+        if self.preload:
+            return self._data
+        raise AttributeError("data only accessible when preload is on "
+                             "(dataset.py:169-173)")
+
+    @property
+    def shape(self):
+        if self.preload:
+            return super().shape
+        h, w, c = self.load_file(0).shape
+        return (len(self), c, h, w)
+
+    def __len__(self):
+        return len(self.files)
+
+    def get_datapoint_version(self, datapoint, datapoint_depth, target_depth):
+        if datapoint_depth == target_depth:
+            return datapoint
+        return self.create_datapoint_from_depth(datapoint, datapoint_depth,
+                                                target_depth)
+
+    def create_datapoint_from_depth(self, datapoint, datapoint_depth,
+                                    target_depth):
+        raise NotImplementedError
+
+    def load_file(self, item):
+        raise NotImplementedError
+
+    def infer_max_dataset_depth(self, datapoint):
+        raise NotImplementedError
+
+    def __getitem__(self, item):
+        if self.preload:
+            return super().__getitem__(item)
+        datapoint = self.load_file(item)
+        datapoint = self.get_datapoint_version(
+            datapoint, self.max_dataset_depth,
+            self.model_depth + self.model_dataset_depth_offset)
+        datapoint = datapoint.astype(np.float32)
+        if self.alpha < 1.0:
+            datapoint = self.alpha_fade(datapoint)
+        datapoint = adjust_dynamic_range(datapoint, self.range_in,
+                                         self.range_out)
+        return datapoint.astype(np.float32)
+
+
+class DefaultImageFolderDataset(FolderDataset):
+    """Directory of images (reference dataset.py:209-255); decoding via PIL
+    (the reference's ``scipy.misc.imread`` is long dead)."""
+
+    def __init__(self,
+                 dir_path="datasets/images",
+                 max_dataset_depth=None,
+                 create_unused_depths=False,
+                 preload=False,
+                 model_dataset_depth_offset=2,
+                 model_initial_depth=0,
+                 alpha=1.0,
+                 range_in=(0, 255),
+                 range_out=(-1, 1),
+                 imread_mode="L",
+                 scale_factor=2):
+        self.imread_mode = imread_mode
+        self.scale_factor = scale_factor
+        super().__init__(dir_path, max_dataset_depth, create_unused_depths,
+                         preload, model_dataset_depth_offset,
+                         model_initial_depth, alpha, range_in, range_out)
+
+    def load_file(self, item) -> np.ndarray:
+        from PIL import Image
+        with Image.open(self.files[item]) as im:
+            im = im.convert(self.imread_mode)
+            arr = np.asarray(im)
+        if arr.ndim == 2:
+            arr = arr[:, :, np.newaxis]
+        assert arr.ndim == 3
+        return arr
+
+    def create_datapoint_from_depth(self, datapoint, datapoint_depth,
+                                    target_depth):
+        factor = self.scale_factor ** (datapoint_depth - target_depth)
+        down = box_downsample(datapoint, factor)
+        return np.uint8(np.clip(np.round(down), self.range_in[0],
+                                self.range_in[1]))
+
+    def infer_max_dataset_depth(self, datapoint):
+        return int(math.log(datapoint.shape[1], self.scale_factor))
+
+
+class SoundImageDataset(DefaultImageFolderDataset):
+    """Audio files as images (reference dataset.py:258-306): each file is
+    loaded, mixed to mono, and turned into a single-channel image by one of
+    three modes —
+
+    - ``raw``: first 4**k samples reshaped to a 2**k x 2**k square
+      (dataset.py:289-291); depth downsampling is strided subsampling
+      (dataset.py:302-306).
+    - ``abslog``: STFT magnitude, ``log(1+|S|)``, cropped to an
+      n_fft/2 x n_fft/2 square (dataset.py:293-296).
+    - ``reallog``: signed log of the real part, ``log(1+|Re S|)*sign(Re S)``
+      (dataset.py:298; the reference's ``np.sign(s)`` on a complex array
+      acts on the real sign).
+
+    Each image is normalized per-file to ``range_in`` uint8 (dataset.py:299).
+    ``frequency`` documents the intended sample rate; like the reference's
+    soundfile path (dataset.py:25), no resampling is performed.
+    """
+
+    def __init__(self,
+                 dir_path="datasets/piano",
+                 max_dataset_depth=None,
+                 create_unused_depths=False,
+                 preload=False,
+                 model_dataset_depth_offset=2,
+                 model_initial_depth=0,
+                 alpha=1.0,
+                 range_in=(0, 255),
+                 range_out=(-1, 1),
+                 scale_factor=2,
+                 n_fft=1024,
+                 hop_length=128,
+                 frequency=16000,
+                 img_mode="abslog"):
+        assert n_fft == 2 ** int(np.log2(n_fft)), "n_fft must be a power of 2"
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.frequency = frequency
+        self.img_mode = img_mode
+        super().__init__(dir_path, max_dataset_depth, create_unused_depths,
+                         preload, model_dataset_depth_offset,
+                         model_initial_depth, alpha, range_in, range_out,
+                         scale_factor=scale_factor)
+
+    def load_file(self, item) -> np.ndarray:
+        from pggan_tpu.data.audio_io import read_wav
+        from pggan_tpu.ops.stft import stft_np
+        sig, _ = read_wav(self.files[item], mono=True)
+        if self.img_mode == "raw":
+            size = int(np.log2(np.sqrt(sig.shape[0])))
+            img = sig[:(2 ** size) ** 2].reshape(2 ** size, 2 ** size)
+        else:
+            S = stft_np(sig, self.n_fft, self.hop_length)
+            S = S[:self.n_fft // 2, :self.n_fft // 2]
+            if self.img_mode == "abslog":
+                img = np.log1p(np.abs(S))
+            elif self.img_mode == "reallog":
+                img = np.log1p(np.abs(S.real)) * np.sign(S.real)
+            else:
+                raise ValueError(f"unknown img_mode: {self.img_mode!r}")
+        img = np.uint8(adjust_dynamic_range(
+            img, (img.min(), img.max()), self.range_in))
+        return img[:, :, np.newaxis]
+
+    def create_datapoint_from_depth(self, datapoint, datapoint_depth,
+                                    target_depth):
+        if self.img_mode != "raw":
+            return super().create_datapoint_from_depth(
+                datapoint, datapoint_depth, target_depth)
+        stride = 2 ** (datapoint_depth - target_depth)
+        return datapoint[::stride, ::stride, :]
+
+
+class SyntheticDataset(DepthDataset):
+    """In-memory random dataset for tests and benchmarks (not in the
+    reference; serves the reference's missing-test role, SURVEY.md §4)."""
+
+    def __init__(self, resolution=32, num_channels=3, num_items=64, seed=0,
+                 model_dataset_depth_offset=2, model_initial_depth=0,
+                 alpha=1.0, range_in=(0, 255), range_out=(-1, 1)):
+        super().__init__(model_dataset_depth_offset, model_initial_depth,
+                         alpha, range_in, range_out)
+        max_depth = int(math.log2(resolution))
+        rng = np.random.RandomState(seed)
+        full = rng.randint(0, 256, (num_items, resolution, resolution,
+                                    num_channels)).astype(np.uint8)
+        self._data = [None] * (max_depth + 1)
+        self._data[max_depth] = full
+        for d in range(max_depth - 1, -1, -1):
+            self._data[d] = np.uint8(np.clip(np.round(np.stack(
+                [box_downsample(x, 2) for x in self._data[d + 1]])), 0, 255))
+
+    @property
+    def data(self):
+        return self._data
+
+    def __len__(self):
+        return self._data[-1].shape[0]

@@ -1,0 +1,147 @@
+"""Host input pipeline: infinite random sampling + threaded batch prefetch.
+
+The reference wraps datasets in a torch DataLoader with 16 forked worker
+processes and an epoch-less ``InfiniteRandomSampler`` (train.py:51-57,
+140-142). For a TPU host pipeline, threads beat forked processes here: numpy
+decode/downsample work releases the GIL, there is no per-depth 16-process
+respawn cost at stage transitions (the reference pays it at every depth
+change, plugins.py:68-69), and live ``dataset.alpha`` updates are visible to
+workers (fixing the reference's frozen-alpha fork quirk — see datasets.py).
+
+``DataIterator`` yields ready (B, H, W, C) float32 numpy batches from a
+bounded prefetch queue. For multi-host data parallelism each host constructs
+its iterator over its own file shard (``shard_index``/``num_shards``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class InfiniteRandomSampler:
+    """Yields uniformly random indices forever, reshuffling each pass
+    (reference train.py:51-57)."""
+
+    def __init__(self, length: int, seed: int | None = None):
+        self.length = length
+        self.rng = np.random.RandomState(seed)
+        self._perm = []
+        self._pos = 0
+        self._lock = threading.Lock()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> int:
+        with self._lock:
+            if self._pos >= len(self._perm):
+                self._perm = self.rng.permutation(self.length)
+                self._pos = 0
+            idx = int(self._perm[self._pos])
+            self._pos += 1
+            return idx
+
+    def take_batch(self, n: int) -> list[int]:
+        return [next(self) for _ in range(n)]
+
+
+class DataIterator:
+    """Threaded prefetching batch iterator over a DepthDataset.
+
+    Each worker thread assembles complete batches (sampling indices from the
+    shared sampler) and pushes them to a bounded queue; ``__next__`` pops a
+    ready batch. ``drop_last`` semantics are implicit: batches are always
+    exactly ``batch_size`` (the sampler is infinite).
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 4,
+                 seed: int | None = None, prefetch: int = 4,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self._indices = self._make_index_space(shard_index, num_shards)
+        self.sampler = _ShardedSampler(self._indices, seed)
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True,
+                             name=f"pggan-data-{i}")
+            for i in range(self.num_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _make_index_space(self, shard_index: int, num_shards: int):
+        n = len(self.dataset)
+        if num_shards <= 1:
+            return np.arange(n)
+        return np.arange(shard_index, n, num_shards)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            idxs = self.sampler.take_batch(self.batch_size)
+            try:
+                batch = np.stack([self.dataset[i] for i in idxs], axis=0)
+            except Exception as e:  # surface worker errors to the consumer
+                self._put((None, e))
+                return
+            self._put((batch, None))
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._stop.is_set():
+            raise StopIteration
+        batch, err = self._queue.get()
+        if err is not None:
+            self.close()
+            raise err
+        return batch
+
+    def close(self):
+        self._stop.set()
+        # drain so blocked workers can exit
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):
+        self._stop.set()
+
+
+class _ShardedSampler:
+    """Infinite random sampler over an explicit index array (for per-host
+    file shards)."""
+
+    def __init__(self, indices: np.ndarray, seed: int | None):
+        self.indices = indices
+        self.rng = np.random.RandomState(seed)
+        self._perm = []
+        self._pos = 0
+        self._lock = threading.Lock()
+
+    def take_batch(self, n: int) -> list[int]:
+        out = []
+        with self._lock:
+            while len(out) < n:
+                if self._pos >= len(self._perm):
+                    self._perm = self.rng.permutation(self.indices)
+                    self._pos = 0
+                out.append(int(self._perm[self._pos]))
+                self._pos += 1
+        return out

@@ -1,0 +1,166 @@
+"""Sample postprocessors (reference output_postprocess.py): turn generated
+NCHW numpy arrays into artifacts — PNG grids and Griffin-Lim WAVs.
+
+Postprocessors accept NCHW float arrays in the model's output range, exactly
+like the reference's contract (plugins.py:188-193 feeds
+``generate_samples``'s NCHW numpy), so they are drop-in: the NHWC->NCHW
+transpose happens at the sampling boundary (plugins.OutputGenerator).
+
+The SoundSaver's phase retrieval runs the JAX Griffin-Lim (one fused XLA
+program for the whole iteration loop — on TPU when available) instead of the
+reference's 100 python-level librosa stft/istft round trips
+(output_postprocess.py:92-105).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pggan_tpu.utils.misc import adjust_dynamic_range, numpy_upsample_nearest
+
+
+class Postprocessor:
+    def __init__(self, samples_path="."):
+        self.samples_path = samples_path
+
+
+class ImageSaver(Postprocessor):
+    """Tile samples into a square grid and save a PNG
+    (reference output_postprocess.py:21-71)."""
+
+    output_file_format = "fakes_{}.png"
+
+    def __init__(self, samples_path=".", drange=(-1, 1), resolution=512,
+                 create_subdirs=True):
+        super().__init__(samples_path)
+        if create_subdirs:
+            os.makedirs(self.samples_path, exist_ok=True)
+        self.resolution = resolution
+        self.drange = tuple(drange)
+
+    def create_image_grid(self, images: np.ndarray) -> np.ndarray:
+        count, channels, img_h, img_w = images.shape
+        grid_w = max(int(np.ceil(np.sqrt(count))), 1)
+        grid_h = max((count - 1) // grid_w + 1, 1)
+        grid = np.zeros((channels, grid_h * img_h, grid_w * img_w),
+                        images.dtype)
+        for i in range(count):
+            x = (i % grid_w) * img_w
+            y = (i // grid_w) * img_h
+            grid[:, y:y + img_h, x:x + img_w] = images[i]
+        return grid
+
+    def convert_to_pil_image(self, image: np.ndarray):
+        import PIL.Image
+        fmt = "RGB"
+        if image.ndim == 3:
+            if image.shape[0] == 1:
+                image = image[0]
+                fmt = "L"
+            else:
+                image = image.transpose(1, 2, 0)
+        image = adjust_dynamic_range(image, self.drange, (0, 255))
+        image = image.round().clip(0, 255).astype(np.uint8)
+        return PIL.Image.fromarray(image, fmt)
+
+    def __call__(self, output: np.ndarray, description):
+        if self.resolution is not None:
+            output = numpy_upsample_nearest(output, 2, size=self.resolution)
+        im = self.convert_to_pil_image(self.create_image_grid(output))
+        fname = self.output_file_format
+        if isinstance(description, int):
+            fname = fname.format("{:06}")
+        im.save(os.path.join(self.samples_path, fname.format(description)))
+
+
+class SoundSaver(Postprocessor):
+    """Spectrogram/raw image -> WAV (reference output_postprocess.py:74-153).
+
+    - ``abslog``: invert magnitude via Griffin-Lim (device-jitted loop).
+    - ``reallog``: invert the signed-log real-part STFT directly.
+    - ``raw``: flatten pixels into the waveform.
+    Frequency bins are padded to 2**i + 1 (real spectrograms have
+    2**i + 1 bins, output_postprocess.py:109-111), the signal is
+    peak-normalized, nearest-upsampled to compensate for reduced resolution,
+    and written per-sample as ``fakes_sound_{kimg}_{i}.wav``. Errors are
+    trapped to ``error_*.txt`` like the reference (output_postprocess.py:142-144).
+    """
+
+    output_file_format = "fakes_sound_{}_{}.wav"
+
+    def __init__(self, samples_path=".", drange=(-1, 1), resolution=512,
+                 mode="abslog", sample_rate=16000, hop_length=128,
+                 create_subdirs=True, verbose=False, griffin_lim_iter=100,
+                 use_device=True):
+        super().__init__(samples_path)
+        if create_subdirs:
+            os.makedirs(self.samples_path, exist_ok=True)
+        self.drange = tuple(drange)
+        self.mode = mode
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.verbose = verbose
+        self.resolution = resolution
+        self.griffin_lim_iter = griffin_lim_iter
+        self.use_device = use_device
+
+    def reconstruct_from_magnitude(self, stft_mag: np.ndarray) -> np.ndarray:
+        if self.use_device:
+            from pggan_tpu.ops.stft import griffin_lim_jax
+            return griffin_lim_jax(stft_mag, self.griffin_lim_iter,
+                                   self.hop_length)
+        from pggan_tpu.ops.stft import griffin_lim_np
+        return griffin_lim_np(stft_mag, self.griffin_lim_iter,
+                              self.hop_length)
+
+    def image_to_sound(self, image: np.ndarray) -> np.ndarray:
+        if self.mode in ("reallog", "abslog"):
+            x = np.zeros((image.shape[0] + 1, image.shape[1]), np.float32)
+            x[:image.shape[0], :image.shape[1]] = image
+            if self.mode == "reallog":
+                from pggan_tpu.ops.stft import istft_np
+                signed = adjust_dynamic_range(x, self.drange, (-1, 1))
+                sgn = np.sign(signed)
+                real_pt_stft = (np.exp(np.abs(signed)) - 1) * sgn
+                signal = istft_np(real_pt_stft.astype(np.complex64),
+                                  self.hop_length)
+            else:
+                x = adjust_dynamic_range(x, self.drange, (0, 255))
+                signal = self.reconstruct_from_magnitude(x)
+        elif self.mode == "raw":
+            signal = image.ravel()
+        else:
+            raise ValueError(
+                f"unrecognized mode: {self.mode}. "
+                "Available modes are: reallog, abslog, raw.")
+        peak = np.abs(signal).max()
+        return signal / peak if peak > 0 else signal
+
+    def output_wav(self, signal: np.ndarray, samples_description, ith: int):
+        from pggan_tpu.data.audio_io import write_wav
+        fname = self.output_file_format
+        if isinstance(samples_description, int):
+            fname = fname.format("{:06}", "{:02}")
+        else:
+            fname = fname.format("{}", "{:02}")
+        try:
+            write_wav(os.path.join(self.samples_path,
+                                   fname.format(samples_description, ith)),
+                      signal, self.sample_rate, norm=True)
+        except Exception as e:
+            err = os.path.join(self.samples_path,
+                               f"error_{samples_description}_{ith}.txt")
+            with open(err, "w") as f:
+                f.write(f"Exception trying to save sound: {e}")
+
+    def __call__(self, output: np.ndarray, samples_description):
+        times_smaller = max(self.resolution // output.shape[-1], 1)
+        if self.mode == "raw":
+            times_smaller *= times_smaller
+        for i, img in enumerate(output):
+            signal = self.image_to_sound(img[0])
+            signal = numpy_upsample_nearest(signal, 1,
+                                            scale_factor=times_smaller)
+            self.output_wav(signal, samples_description, i)

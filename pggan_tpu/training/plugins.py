@@ -1,0 +1,400 @@
+"""Plugin suite for the tick/iteration runtime (reference plugins.py).
+
+Every non-core concern — progressive-growing schedule, LR ramp, loss stats,
+wall-clock stats, checkpoints, sample generation, metrics export, logging —
+is a plugin with declared trigger intervals on the ``iteration | epoch | s |
+end`` queues (reference trainer.py:40-45). "tick" == "epoch" for plugin
+purposes (reference README.md:46).
+
+TPU-specific departures:
+- Loss monitors keep the *device* scalars and only transfer at tick
+  boundaries (one host sync per tick instead of one per iteration — the
+  reference forced a CUDA sync every iteration through ``.data[0]``,
+  plugins.py:109-111).
+- ``DepthManager`` additionally acts as the staged-recompilation driver: a
+  depth change swaps the jitted step (new static shapes), the data iterator
+  and the latent batch size (reference plugins.py:65-74).
+- ``SaverPlugin`` checkpoints the FULL train state (params + both Adam
+  moments + PRNG key), fixing the reference's resume gap (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import timedelta
+from glob import glob
+
+import numpy as np
+
+from pggan_tpu.training.schedule import lod_value, lr_rampup
+
+
+class Plugin:
+    """Base plugin: ``trigger_interval`` is a list of (interval, queue_name)."""
+
+    def __init__(self, interval=None):
+        self.trigger_interval = interval if interval is not None else []
+        self.trainer = None
+
+    def register(self, trainer):
+        self.trainer = trainer
+
+
+class DepthManager(Plugin):
+    """The progressive-growing scheduler (reference plugins.py:13-81).
+
+    Every iteration, re-derives (depth, alpha) purely from ``cur_nimg``
+    (see ``schedule.depth_alpha_schedule``). On a depth change it mutates the
+    trainer's stage: model depth, the per-depth minibatch (reference defaults
+    {6:14, 7:6, 8:3}), a fresh data iterator at the new resolution, the
+    latent generator, and the per-depth tick length. In this framework that
+    depth change is also the staged-recompilation boundary: the Trainer picks
+    the jitted step for (depth, minibatch) on the next iteration.
+    """
+
+    def __init__(self,
+                 create_dataiter_fun=None,
+                 create_rlg=None,
+                 max_depth=None,
+                 minibatch_default=16,
+                 minibatch_overrides={6: 14, 7: 6, 8: 3},
+                 tick_kimg_default=20,
+                 tick_kimg_overrides={3: 10, 4: 10, 5: 5, 6: 2, 7: 2, 8: 1},
+                 lod_training_nimg=100 * 1000,
+                 lod_transition_nimg=100 * 1000,
+                 max_lod=None,
+                 depth_offset=None):
+        super().__init__([(1, "iteration")])
+        self.create_dataiter_fun = create_dataiter_fun
+        self.create_rlg = create_rlg
+        self.max_depth = max_depth
+        self.minibatch_default = minibatch_default
+        self.minibatch_overrides = dict(minibatch_overrides or {})
+        self.tick_kimg_default = tick_kimg_default
+        self.tick_kimg_overrides = dict(tick_kimg_overrides or {})
+        self.lod_training_nimg = lod_training_nimg
+        self.lod_transition_nimg = lod_transition_nimg
+        self.max_lod = max_lod
+        self.depth_offset = depth_offset
+        self.depth = -1
+        self.alpha = -1.0
+
+    def register(self, trainer):
+        self.trainer = trainer
+        trainer.stats["minibatch_size"] = self.minibatch_default
+        trainer.stats["alpha"] = {"log_name": "alpha",
+                                  "log_epoch_fields": ["{val:.2f}"],
+                                  "val": self.alpha}
+        if self.max_lod is not None and self.depth_offset is not None:
+            trainer.stats["lod"] = {"log_name": "lod",
+                                    "log_epoch_fields": ["{val:.2f}"],
+                                    "val": self.lod}
+        self.iteration()
+
+    @property
+    def lod(self):
+        return lod_value(self.depth, self.alpha, self.max_lod, self.depth_offset)
+
+    def iteration(self, *args):
+        from pggan_tpu.training.schedule import depth_alpha_schedule
+        trainer = self.trainer
+        depth, alpha = depth_alpha_schedule(
+            trainer.cur_nimg, self.max_depth,
+            self.lod_training_nimg, self.lod_transition_nimg)
+        if depth != self.depth:
+            self.depth = depth
+            trainer.depth = depth
+            if trainer.dataset is not None:
+                trainer.dataset.model_depth = depth
+            minibatch_size = self.minibatch_overrides.get(
+                depth, self.minibatch_default)
+            trainer.minibatch_size = minibatch_size
+            if self.create_dataiter_fun is not None:
+                old_iter = trainer.dataiter
+                trainer.dataiter = iter(self.create_dataiter_fun(minibatch_size))
+                if hasattr(old_iter, "close"):
+                    old_iter.close()  # free the previous stage's prefetch workers
+            if self.create_rlg is not None:
+                trainer.random_latents_generator = self.create_rlg(minibatch_size)
+            tick_kimg = self.tick_kimg_overrides.get(depth, self.tick_kimg_default)
+            trainer.tick_duration_nimg = tick_kimg * 1000
+            trainer.stats["minibatch_size"] = minibatch_size
+        if alpha != self.alpha:
+            self.alpha = alpha
+            trainer.alpha = alpha
+            if trainer.dataset is not None:
+                trainer.dataset.alpha = alpha
+        trainer.stats["depth"] = depth
+        trainer.stats["alpha"]["val"] = alpha
+        if self.max_lod is not None and self.depth_offset is not None:
+            trainer.stats["lod"]["val"] = self.lod
+
+
+class LRScheduler(Plugin):
+    """nimg-driven LR ramp for both optimizers (reference plugins.py:84-99 +
+    train.py:151-158): lr = lr_max * exp(-5 p^2) during the first
+    ``rampup_kimg`` kimg. Updates traced scalars — never recompiles."""
+
+    def __init__(self, lr_max_d=0.001, lr_max_g=0.001, rampup_kimg=40.0):
+        super().__init__([(1, "iteration")])
+        self.lr_max_d = lr_max_d
+        self.lr_max_g = lr_max_g
+        self.rampup_kimg = rampup_kimg
+
+    def register(self, trainer):
+        self.trainer = trainer
+        self.iteration()
+
+    def iteration(self, *args):
+        ramp = lr_rampup(self.trainer.cur_nimg, self.rampup_kimg)
+        self.trainer.lr_d = self.lr_max_d * ramp
+        self.trainer.lr_g = self.lr_max_g * ramp
+
+
+class EfficientLossMonitor(Plugin):
+    """Accumulates one loss stream and exposes its per-tick mean as
+    ``stats[name]['epoch_mean']`` (reference plugins.py:102-111).
+
+    Values stay on device between ticks; the transfer happens once per tick.
+    """
+
+    def __init__(self, loss_no: int, stat_name: str):
+        super().__init__([(1, "iteration"), (1, "epoch")])
+        self.loss_no = loss_no
+        self.stat_name = stat_name
+        self._values = []
+
+    def register(self, trainer):
+        self.trainer = trainer
+        trainer.stats[self.stat_name] = {
+            "log_name": self.stat_name,
+            "log_epoch_fields": ["{epoch_mean:.4f}"],
+            "epoch_mean": float("nan"),
+        }
+
+    def iteration(self, idx, *losses):
+        self._values.append(losses[self.loss_no])
+
+    def epoch(self, epoch_idx):
+        import jax
+        if self._values:
+            vals = np.asarray(jax.device_get(self._values), dtype=np.float64)
+            self.trainer.stats[self.stat_name]["epoch_mean"] = float(vals.mean())
+            self._values = []
+
+
+class AbsoluteTimeMonitor(Plugin):
+    """Wall-clock stats per tick: total time, sec/tick, sec/kimg (reference
+    plugins.py:114-139). ``sec.kimg`` is the framework's throughput metric."""
+
+    def __init__(self, base_time=0.0):
+        super().__init__([(1, "epoch")])
+        self.base_time = base_time
+        self.start_time = time.time()
+        self.epoch_start = self.start_time
+        self.start_nimg = None
+
+    def register(self, trainer):
+        self.trainer = trainer
+        self.start_nimg = trainer.cur_nimg
+        trainer.stats["sec"] = {"log_format": ":.1f"}
+
+    def epoch(self, epoch_index):
+        cur_time = time.time()
+        tick_time = cur_time - self.epoch_start
+        self.epoch_start = cur_time
+        nimg_done = max(self.trainer.cur_nimg - self.start_nimg, 1)
+        kimg_time = tick_time / nimg_done * 1000
+        self.start_nimg = self.trainer.cur_nimg
+        self.trainer.stats["time"] = timedelta(
+            seconds=cur_time - self.start_time + self.base_time)
+        self.trainer.stats["sec"]["tick"] = tick_time
+        self.trainer.stats["sec"]["kimg"] = kimg_time
+
+
+class SaverPlugin(Plugin):
+    """Checkpointing (reference plugins.py:142-174), extended to full state.
+
+    Writes, every ``network_snapshot_ticks`` ticks and at end:
+    - ``network-snapshot-generator-{kimg:06}.dat`` / ``...-discriminator-...``
+      — self-contained model snapshots (config + params) loadable by the
+      ``generate`` CLI, mirroring the reference's file layout;
+    - ``training-state-{kimg:06}.dat`` — the full TrainState (both Adam
+      states, PRNG key, nimg/tick clocks) for exact resume, fixing the
+      reference's optimizer/RNG checkpoint gap (SURVEY.md §5).
+    Older snapshots are removed unless ``keep_old_checkpoints``.
+    """
+
+    last_pattern = "network-snapshot-{}-{}.dat"
+    state_pattern = "training-state-{}.dat"
+
+    def __init__(self, checkpoints_path, keep_old_checkpoints=False,
+                 network_snapshot_ticks=40):
+        super().__init__([(network_snapshot_ticks, "epoch"), (1, "end")])
+        self.checkpoints_path = checkpoints_path
+        self.keep_old_checkpoints = keep_old_checkpoints
+
+    def epoch(self, epoch_index):
+        from pggan_tpu.checkpoint import save_snapshot, save_training_state
+        if not self.keep_old_checkpoints:
+            self._clear(self.last_pattern.format("*", "*"))
+            self._clear(self.state_pattern.format("*"))
+        kimg = "{:06}".format(self.trainer.cur_nimg // 1000)
+        trainer = self.trainer
+        save_snapshot(
+            os.path.join(self.checkpoints_path,
+                         self.last_pattern.format("generator", kimg)),
+            trainer.G, trainer.state.g_params, trainer.depth, trainer.alpha)
+        save_snapshot(
+            os.path.join(self.checkpoints_path,
+                         self.last_pattern.format("discriminator", kimg)),
+            trainer.D, trainer.state.d_params, trainer.depth, trainer.alpha)
+        save_training_state(
+            os.path.join(self.checkpoints_path, self.state_pattern.format(kimg)),
+            trainer.state, trainer.cur_nimg, trainer.iterations,
+            float(trainer.stats.get("sec", {}).get("tick", 0.0)))
+
+    def end(self, *args):
+        self.epoch(*args)
+
+    def _clear(self, pattern):
+        for file_name in glob(os.path.join(self.checkpoints_path, pattern)):
+            os.remove(file_name)
+
+
+class OutputGenerator(Plugin):
+    """Periodic sample generation (reference plugins.py:177-195): draw
+    ``samples_count`` latents, run the generator at the current (depth,
+    alpha), hand NCHW numpy output to every postprocessor with
+    ``cur_nimg // 1000`` as the description."""
+
+    def __init__(self, sample_fn, output_postprocessors, samples_count=6,
+                 output_snapshot_ticks=3):
+        super().__init__([(output_snapshot_ticks, "epoch"), (1, "end")])
+        self.sample_fn = sample_fn
+        self.output_postprocessors = output_postprocessors
+        self.samples_count = samples_count
+
+    def epoch(self, epoch_index):
+        trainer = self.trainer
+        z = np.asarray(self.sample_fn(self.samples_count), dtype=np.float32)
+        apply_fn = trainer.builder.sample_fn(trainer.depth)
+        out = apply_fn(trainer.state.g_params, z, trainer.alpha)
+        out_nchw = np.asarray(out).transpose(0, 3, 1, 2)  # NHWC -> NCHW
+        for proc in self.output_postprocessors:
+            proc(out_nchw, trainer.cur_nimg // 1000)
+
+    def end(self, *args):
+        self.epoch(*args)
+
+
+class MetricsExporter(Plugin):
+    """Structured per-tick metrics export (the reference's CometML plugin
+    role, plugins.py:198-216, without the external service): appends one JSON
+    object per tick with the selected dotted stat paths to ``metrics.jsonl``.
+    If a CometML experiment object is passed, it is also fed (duck-typed
+    ``log_metric``/``log_epoch_end``)."""
+
+    def __init__(self, fields, jsonl_path=None, experiment=None):
+        super().__init__([(1, "epoch")])
+        self.fields = fields
+        self.jsonl_path = jsonl_path
+        self.experiment = experiment
+
+    def _resolve(self, field):
+        parts = field.split(".")
+        stat = self.trainer.stats.get(parts[0])
+        for p in parts[1:]:
+            if not isinstance(stat, dict):
+                return None
+            stat = stat.get(p)
+        if isinstance(stat, dict):
+            stat = stat.get("epoch_mean", stat.get("val"))
+        return stat
+
+    def epoch(self, epoch_index):
+        import json
+        record = {"tick": epoch_index}
+        for field in self.fields:
+            val = self._resolve(field)
+            if hasattr(val, "total_seconds"):
+                val = val.total_seconds()
+            record[field] = (float(val) if isinstance(val, (int, float, np.floating))
+                             else val)
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if self.experiment is not None:
+            for field, val in record.items():
+                if field != "tick":
+                    self.experiment.log_metric(field, val)
+            self.experiment.log_epoch_end(epoch_index)
+
+
+# Backwards-compatible alias mirroring the reference plugin name.
+CometPlugin = MetricsExporter
+
+
+class Logger(Plugin):
+    """Tick-line logger over the stats registry (the torch Logger role the
+    reference subclasses at plugins.py:219-231).
+
+    Renders, for each configured field, either the stat dict's
+    ``log_epoch_fields`` templates (formatted with the dict itself) or the
+    plain value; dotted fields index into nested stat dicts and use the
+    parent's ``log_format`` when present.
+    """
+
+    def __init__(self, fields, interval=None):
+        super().__init__(interval if interval is not None else [(1, "epoch")])
+        self.fields = fields
+
+    def _render_field(self, field):
+        parts = field.split(".")
+        stats = self.trainer.stats
+        stat = stats.get(parts[0])
+        if stat is None:
+            return None
+        if len(parts) > 1:
+            fmt = stat.get("log_format", "") if isinstance(stat, dict) else ""
+            for p in parts[1:]:
+                if not isinstance(stat, dict) or p not in stat:
+                    return None
+                stat = stat[p]
+            name = field
+            val = ("{" + fmt + "}").format(stat) if fmt else str(stat)
+            return f"{name} {val}"
+        if isinstance(stat, dict):
+            name = stat.get("log_name", field)
+            fields = stat.get("log_epoch_fields")
+            if fields:
+                try:
+                    vals = " ".join(t.format(**stat) for t in fields)
+                except (KeyError, ValueError):
+                    vals = "?"
+                return f"{name} {vals}"
+            return f"{name} {stat}"
+        return f"{field} {stat}"
+
+    def epoch(self, epoch_idx):
+        rendered = [self._render_field(f) for f in self.fields]
+        self.log("  ".join(r for r in rendered if r is not None))
+
+    def end(self, *args):
+        pass
+
+    def log(self, msg):
+        print(msg, flush=True)
+
+
+class TeeLogger(Logger):
+    """Console + ``log.txt`` tee (reference plugins.py:219-231)."""
+
+    def __init__(self, log_file, fields, interval=None):
+        super().__init__(fields, interval)
+        self.log_file = open(log_file, "a", 1)
+
+    def log(self, msg):
+        print(msg, flush=True)
+        self.log_file.write(msg + "\n")

@@ -1,0 +1,162 @@
+"""The fused G+D train step: one jit-compiled XLA program per
+(depth, batch_size) doing D-repeats then the G update.
+
+TPU-first re-design of the reference hot loop (trainer.py:85-115), which ran
+4 separate forward passes, 2 backwards and 2 optimizer steps as eager CUDA
+calls. Here the whole iteration — latent sampling, D loss with grad-of-grad
+gradient penalty, Adam update, G loss, Adam update — is a single traced
+program: XLA fuses elementwise work into the convs, state buffers are
+donated (no reallocation per step), and latents come from the on-device PRNG
+(no host->device transfer per iteration; the reference paid one per batch,
+trainer.py:86,92,103).
+
+``depth`` and ``batch_size`` are static (a stage change is a recompilation
+boundary, SURVEY.md §3.3); ``alpha`` and the learning rates are traced
+scalars so fade-in and LR ramp never recompile.
+
+Under a data-parallel mesh the batch axis of ``reals`` is sharded and params
+are replicated; XLA's GSPMD inserts the gradient all-reduce and the
+cross-replica reductions inside minibatch-stddev and the gradient-penalty
+mean automatically (SURVEY.md §2.8 items 1-2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pggan_tpu.losses import wgan_gp_D_loss, wgan_gp_G_loss
+from pggan_tpu.training.state import TrainState, apply_updates
+
+
+class TrainStepBuilder:
+    """Builds and caches jitted train steps keyed by (depth, batch_size).
+
+    Also builds the per-depth sampling functions used by OutputGenerator and
+    the ``generate`` CLI.
+    """
+
+    def __init__(self, G, D, optimizer: optax.GradientTransformation,
+                 d_training_repeats: int = 1,
+                 iwass_lambda: float = 10.0,
+                 iwass_epsilon: float = 0.001,
+                 iwass_target: float = 1.0,
+                 mesh=None,
+                 batch_axis: str = "data"):
+        self.G = G
+        self.D = D
+        self.optimizer = optimizer
+        self.d_training_repeats = int(d_training_repeats)
+        self.iwass_lambda = float(iwass_lambda)
+        self.iwass_epsilon = float(iwass_epsilon)
+        self.iwass_target = float(iwass_target)
+        self.mesh = mesh
+        self.batch_axis = batch_axis
+        self._step_cache: dict[tuple[int, int], Callable] = {}
+        self._sample_cache: dict[int, Callable] = {}
+
+    # -- shardings ----------------------------------------------------------
+    def _shardings(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        replicated = NamedSharding(self.mesh, P())
+        batch = NamedSharding(self.mesh, P(None, self.batch_axis))
+        return replicated, batch
+
+    # -- the step -----------------------------------------------------------
+    def _build_step(self, depth: int, batch_size: int) -> Callable:
+        G, D = self.G, self.D
+        opt = self.optimizer
+        latent_size = G.latent_size
+        n_rep = self.d_training_repeats
+        lam, eps_drift, target = (self.iwass_lambda, self.iwass_epsilon,
+                                  self.iwass_target)
+
+        def step(state: TrainState, reals: jax.Array, alpha: jax.Array,
+                 lr_d: jax.Array, lr_g: jax.Array):
+            def d_apply(p, x):
+                return D.apply(p, x, depth, alpha)
+
+            def g_apply(p, z):
+                return G.apply(p, z, depth, alpha)
+
+            def d_loss_fn(d_params, real, z, key):
+                return wgan_gp_D_loss(d_apply, g_apply, d_params,
+                                      state.g_params, real, z, key,
+                                      lam, eps_drift, target)
+
+            def d_phase(carry, real):
+                d_params, d_opt, rng = carry
+                rng, kz, kgp = jax.random.split(rng, 3)
+                z = jax.random.normal(kz, (batch_size, latent_size),
+                                      jnp.float32)
+                (cost, (d_real, d_fake)), grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(d_params, real, z, kgp)
+                updates, d_opt = opt.update(grads, d_opt, d_params)
+                d_params = apply_updates(d_params, updates, lr_d)
+                return (d_params, d_opt, rng), (cost, d_real, d_fake)
+
+            (d_params, d_opt, rng), (costs, drs, dfs) = jax.lax.scan(
+                d_phase, (state.d_params, state.d_opt, state.rng), reals)
+
+            rng, kz = jax.random.split(rng)
+            z = jax.random.normal(kz, (batch_size, latent_size), jnp.float32)
+
+            def g_loss_fn(g_params):
+                return wgan_gp_G_loss(g_apply, d_apply, g_params, d_params, z)
+
+            g_cost, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+            g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+            g_params = apply_updates(state.g_params, g_updates, lr_g)
+
+            new_state = TrainState(g_params, d_params, g_opt, d_opt, rng)
+            # Reference reports the *last* D repeat's losses (trainer.py:89-97
+            # overwrites d_losses each repeat).
+            metrics = {
+                "G_loss": g_cost,
+                "D_loss": costs[-1],
+                "D_real": drs[-1],
+                "D_fake": dfs[-1],
+            }
+            return new_state, metrics
+
+        if self.mesh is not None:
+            replicated, batch_shd = self._shardings()
+            return jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(replicated, batch_shd, None, None, None),
+                out_shardings=(replicated, replicated),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step_fn(self, depth: int, batch_size: int) -> Callable:
+        key = (depth, batch_size)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(depth, batch_size)
+        return self._step_cache[key]
+
+    def real_batch_shape(self, depth: int, batch_size: int) -> tuple:
+        """Expected NHWC shape of the stacked real input:
+        (d_training_repeats, B, H, W, C)."""
+        res = self.G.resolution_at(depth)
+        return (self.d_training_repeats, batch_size, res, res,
+                self.G.num_channels)
+
+    # -- sampling -----------------------------------------------------------
+    def sample_fn(self, depth: int) -> Callable:
+        """jitted (g_params, z, alpha) -> NHWC images at ``depth``."""
+        if depth not in self._sample_cache:
+            G = self.G
+            self._sample_cache[depth] = jax.jit(
+                lambda p, z, a: G.apply(p, z, depth, a))
+        return self._sample_cache[depth]
+
+
+def stack_reals(batches) -> np.ndarray:
+    """Stack ``d_training_repeats`` NHWC host batches into the step input."""
+    return np.stack(batches, axis=0)

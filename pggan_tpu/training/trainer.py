@@ -1,0 +1,136 @@
+"""Host-side training engine: the hot loop + the heap-based plugin scheduler
+(reference trainer.py).
+
+The reference engine drove 4 eager D/G passes per iteration with per-call
+host<->device transfers (trainer.py:85-115). Here one iteration is a single
+dispatch of the fused jitted step (see ``steps.py``): the host only feeds the
+next real batch, advances the nimg clock, and runs due plugins. Loss scalars
+returned by the step stay on device until tick boundaries (the loss monitors
+fetch them lazily), so iterations pipeline: the host can enqueue step k+1
+while the device still executes step k.
+
+Plugin queue semantics preserved exactly (trainer.py:40-69): four queues
+``iteration | epoch | s | end``, a heap ordered by next-due time; a due
+plugin's method named after the queue is invoked and the plugin re-scheduled
+at ``time + interval``.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+class Trainer:
+    """Progressive-GAN training engine.
+
+    Parameters mirror the reference Trainer (trainer.py:7-19) where they make
+    sense for the functional design: models + a ``TrainStepBuilder`` replace
+    the (D, G, loss, optimizer) quadruple since those are fused in the step.
+
+    Mutable attributes that plugins reach into (the reference's contract,
+    SURVEY.md §1 L3): ``cur_nimg``, ``dataiter``, ``random_latents_generator``,
+    ``tick_duration_nimg``, ``stats``, ``depth``, ``alpha``,
+    ``minibatch_size``, ``lr_d``, ``lr_g``, ``state``.
+    """
+
+    def __init__(self,
+                 G,
+                 D,
+                 builder,
+                 state,
+                 dataset,
+                 dataiter,
+                 random_latents_generator,
+                 D_training_repeats=1,
+                 tick_nimg_default=2 * 1000,
+                 resume_nimg=0,
+                 resume_iterations=0):
+        self.G = G
+        self.D = D
+        self.builder = builder
+        self.state = state
+        self.dataset = dataset
+        self.dataiter = dataiter
+        self.random_latents_generator = random_latents_generator
+        self.D_training_repeats = D_training_repeats
+        self.cur_nimg = resume_nimg
+        self.tick_start_nimg = self.cur_nimg
+        self.tick_duration_nimg = tick_nimg_default
+        self.iterations = resume_iterations
+        self.cur_tick = 0
+        self.depth = 0
+        self.alpha = 1.0
+        self.minibatch_size = None
+        self.lr_d = 0.0
+        self.lr_g = 0.0
+        self.stats = {
+            "kimg_stat": {"val": self.cur_nimg / 1000.0,
+                          "log_epoch_fields": ["{val:8.3f}"],
+                          "log_name": "kimg"},
+            "tick_stat": {"val": self.cur_tick,
+                          "log_epoch_fields": ["{val:5}"],
+                          "log_name": "tick"},
+        }
+        self.plugin_queues = {"iteration": [], "epoch": [], "s": [], "end": []}
+
+    # -- plugin scheduler (reference trainer.py:47-69) ----------------------
+    def register_plugin(self, plugin):
+        plugin.register(self)
+        intervals = plugin.trigger_interval
+        if not isinstance(intervals, list):
+            intervals = [intervals]
+        for duration, unit in intervals:
+            queue = self.plugin_queues[unit]
+            queue.append((duration, len(queue), plugin))
+
+    def call_plugins(self, queue_name, time, *args):
+        args = (time,) + args
+        queue = self.plugin_queues[queue_name]
+        if len(queue) == 0:
+            return
+        while queue[0][0] <= time:
+            plugin = queue[0][2]
+            getattr(plugin, queue_name)(*args)
+            interval = None
+            for trigger in plugin.trigger_interval:
+                if trigger[1] == queue_name:
+                    interval = trigger[0]
+            new_item = (time + interval, queue[0][1], plugin)
+            heapq.heappushpop(queue, new_item)
+
+    # -- run loop (reference trainer.py:71-83) ------------------------------
+    def run(self, total_kimg=1):
+        for q in self.plugin_queues.values():
+            heapq.heapify(q)
+
+        while self.cur_nimg < total_kimg * 1000:
+            self.train()
+            if (self.cur_nimg >= self.tick_start_nimg + self.tick_duration_nimg
+                    or self.cur_nimg >= total_kimg * 1000):
+                self.cur_tick += 1
+                self.tick_start_nimg = self.cur_nimg
+                self.stats["kimg_stat"]["val"] = self.cur_nimg / 1000.0
+                self.stats["tick_stat"]["val"] = self.cur_tick
+                self.call_plugins("epoch", self.cur_tick)
+        self.call_plugins("end", 1)
+
+    # -- hot loop (reference trainer.py:85-115, fused) ----------------------
+    def train(self):
+        reals = [np.asarray(next(self.dataiter), dtype=np.float32)
+                 for _ in range(self.D_training_repeats)]
+        batch = reals[0].shape[0]
+        reals = np.stack(reals, axis=0)
+        self.cur_nimg += batch * self.D_training_repeats
+
+        step = self.builder.step_fn(self.depth, batch)
+        self.state, metrics = step(self.state, reals,
+                                   np.float32(self.alpha),
+                                   np.float32(self.lr_d),
+                                   np.float32(self.lr_g))
+
+        self.iterations += 1
+        self.call_plugins("iteration", self.iterations,
+                          metrics["G_loss"], metrics["D_loss"],
+                          metrics["D_real"], metrics["D_fake"])

@@ -1,0 +1,192 @@
+"""Data layer tests: pyramid math, depth datasets, loaders, audio dataset
+(SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pggan_tpu.data import (
+    DataIterator,
+    DefaultImageFolderDataset,
+    H5Dataset,
+    InfiniteRandomSampler,
+    SoundImageDataset,
+    SyntheticDataset,
+)
+from pggan_tpu.data.datasets import box_downsample
+from pggan_tpu.utils.misc import adjust_dynamic_range
+
+
+def test_box_downsample_equals_strided_phase_mean():
+    """The reference downsamples by averaging scale^2 strided phases
+    (dataset.py:244-251); block mean is the same operator."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.float32)
+    factor = 4
+    phases = sum(img[a::factor, b::factor] for a in range(factor)
+                 for b in range(factor)) / factor ** 2
+    np.testing.assert_allclose(box_downsample(img, factor), phases, rtol=1e-6)
+
+
+def test_adjust_dynamic_range():
+    x = np.array([0.0, 127.5, 255.0])
+    y = adjust_dynamic_range(x, (0, 255), (-1, 1))
+    np.testing.assert_allclose(y, [-1.0, 0.0, 1.0])
+    assert adjust_dynamic_range(x, (0, 255), (0, 255)) is x
+
+
+def test_synthetic_dataset_depths():
+    ds = SyntheticDataset(resolution=32, num_channels=3, num_items=8)
+    assert ds.shape == (8, 3, 32, 32)
+    ds.model_depth = 0
+    item = ds[0]
+    assert item.shape == (4, 4, 3)  # depth 0 + offset 2 => 2**2
+    assert item.min() >= -1.0 and item.max() <= 1.0
+    ds.model_depth = 3
+    assert ds[0].shape == (32, 32, 3)
+
+
+def test_alpha_fade_blends_towards_downsampled():
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=4)
+    ds.model_depth = 2
+    ds.alpha = 1.0
+    sharp = ds[1]
+    ds.alpha = 0.0
+    blurred = ds[1]
+    # alpha=0 item equals 2x box-down-up of the sharp item
+    t = box_downsample(sharp, 2).repeat(2, axis=0).repeat(2, axis=1)
+    np.testing.assert_allclose(blurred, t, atol=1e-5)
+
+
+def _write_pngs(tmpdir, n=6, size=32, channels=3):
+    from PIL import Image
+    rng = np.random.RandomState(1)
+    for i in range(n):
+        arr = rng.randint(0, 256, (size, size, channels), dtype=np.uint8)
+        Image.fromarray(arr if channels == 3 else arr[..., 0]).save(
+            os.path.join(tmpdir, f"img_{i:03}.png"))
+
+
+def test_image_folder_dataset_preload(tmp_path):
+    _write_pngs(str(tmp_path), n=5, size=32)
+    ds = DefaultImageFolderDataset(str(tmp_path), preload=True,
+                                   imread_mode="RGB")
+    assert ds.max_dataset_depth == 5
+    assert ds.shape == (5, 3, 32, 32)
+    ds.model_depth = 1  # dataset depth 3 -> 8x8
+    assert ds[0].shape == (8, 8, 3)
+    ds.model_depth = 3
+    assert ds[2].shape == (32, 32, 3)
+
+
+def test_image_folder_dataset_lazy(tmp_path):
+    _write_pngs(str(tmp_path), n=3, size=16)
+    ds = DefaultImageFolderDataset(str(tmp_path), preload=False,
+                                   imread_mode="L")
+    assert ds.shape == (3, 1, 16, 16)
+    ds.model_depth = 0
+    item = ds[0]
+    assert item.shape == (4, 4, 1)
+    assert np.isfinite(item).all()
+
+
+def test_image_folder_grayscale_mode(tmp_path):
+    _write_pngs(str(tmp_path), n=2, size=16, channels=3)
+    ds = DefaultImageFolderDataset(str(tmp_path), preload=True,
+                                   imread_mode="L")
+    assert ds.shape[1] == 1
+
+
+def test_h5_dataset(tmp_path):
+    import h5py
+    path = str(tmp_path / "toy.h5")
+    rng = np.random.RandomState(2)
+    with h5py.File(path, "w") as f:
+        for r in (4, 8, 16):
+            f.create_dataset(f"data{r}x{r}",
+                             data=rng.randint(0, 256, (10, 3, r, r),
+                                              dtype=np.uint8))
+    ds = H5Dataset(path)
+    assert ds.shape == (10, 3, 16, 16)
+    assert len(ds) == 10
+    ds.model_depth = 0
+    assert ds[0].shape == (4, 4, 3)
+    ds.model_depth = 2
+    assert ds[3].shape == (16, 16, 3)
+    ds.close()
+
+
+def _write_wavs(tmpdir, n=2, num_samples=20000, sr=8000):
+    from pggan_tpu.data.audio_io import write_wav
+    rng = np.random.RandomState(3)
+    for i in range(n):
+        t = np.arange(num_samples) / sr
+        sig = np.sin(2 * np.pi * (100 + 50 * i) * t) + 0.1 * rng.randn(num_samples)
+        write_wav(os.path.join(tmpdir, f"s{i}.wav"), sig.astype(np.float32), sr)
+
+
+def test_sound_dataset_raw(tmp_path):
+    _write_wavs(str(tmp_path), n=2, num_samples=20000)
+    ds = SoundImageDataset(str(tmp_path), img_mode="raw", preload=True)
+    # 4**k <= 20000 -> k = 7 -> 128x128? log2(sqrt(20000)) ~ 7.1 -> 128
+    assert ds.shape[-1] == 128
+    ds.model_depth = 0
+    assert ds[0].shape == (4, 4, 1)
+
+
+def test_sound_dataset_abslog(tmp_path):
+    _write_wavs(str(tmp_path), n=2, num_samples=6000)
+    ds = SoundImageDataset(str(tmp_path), img_mode="abslog", n_fft=64,
+                           hop_length=64, preload=True)
+    # image is (n_fft/2, n_fft/2) = 32x32
+    assert ds.shape == (2, 1, 32, 32)
+    ds.model_depth = 3
+    item = ds[0]
+    assert item.shape == (32, 32, 1)
+    assert item.min() >= -1.0 and item.max() <= 1.0
+
+
+def test_sound_dataset_reallog(tmp_path):
+    _write_wavs(str(tmp_path), n=1, num_samples=6000)
+    ds = SoundImageDataset(str(tmp_path), img_mode="reallog", n_fft=64,
+                           hop_length=64, preload=True)
+    assert ds.shape == (1, 1, 32, 32)
+
+
+def test_infinite_sampler_covers_all():
+    s = InfiniteRandomSampler(10, seed=0)
+    seen = {next(s) for _ in range(50)}
+    assert seen == set(range(10))
+
+
+def test_data_iterator_batches_and_close():
+    ds = SyntheticDataset(resolution=16, num_items=12)
+    ds.model_depth = 1
+    it = DataIterator(ds, batch_size=4, num_workers=2, seed=0)
+    b = next(it)
+    assert b.shape == (4, 8, 8, 3)
+    assert b.dtype == np.float32
+    b2 = next(it)
+    assert b2.shape == (4, 8, 8, 3)
+    it.close()
+
+
+def test_data_iterator_sharded():
+    ds = SyntheticDataset(resolution=16, num_items=16)
+    ds.model_depth = 1
+    it0 = DataIterator(ds, batch_size=4, num_workers=1, seed=0,
+                       shard_index=0, num_shards=4)
+    assert set(it0._indices.tolist()) == {0, 4, 8, 12}
+    it0.close()
+
+
+def test_data_iterator_error_propagation():
+    class Broken(SyntheticDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    ds = Broken(resolution=16, num_items=4)
+    it = DataIterator(ds, batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
