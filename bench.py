@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: fused G+D WGAN-GP train-step throughput on the paper config.
+
+Measures the CelebA-128 stage (depth 5, 128x128, minibatch 16, full
+fmap_base-4096 models — BASELINE.json config 3) on the attached TPU chip and
+prints ONE JSON line:
+
+    {"metric": "kimg_per_hour_chip_128px", "value": ..., "unit": "kimg/h",
+     "vs_baseline": ...}
+
+``vs_baseline`` is relative to the reference implementation's estimated
+single-GPU throughput at the same stage (see BASELINE.md; the reference
+publishes no numbers, so the anchor is the commonly reported ~4 s/kimg
+PGGAN-at-128px single-V100-class figure => ~900 kimg/h. The driver's
+north-star target is 10x that on a v5e-16 pod; this metric is per chip).
+
+Extra diagnostics (per-step ms, a 1024x1024 step timing) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ANCHOR_KIMG_PER_HOUR = 900.0  # see BASELINE.md "anchor" row
+
+
+def time_step(builder, state, depth, batch, iters=30, warmup=3):
+    import jax
+    step = builder.step_fn(depth, batch)
+    reals = np.random.RandomState(0).randn(
+        *builder.real_batch_shape(depth, batch)).astype(np.float32)
+    alpha = np.float32(1.0)
+    lr = np.float32(1e-3)
+    for _ in range(warmup):
+        state, metrics = step(state, reals, alpha, lr, lr)
+    jax.block_until_ready(state.g_params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, reals, alpha, lr, lr)
+    jax.block_until_ready(state.g_params)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, state
+
+
+def main():
+    import jax
+    from pggan_tpu.models import Discriminator, Generator
+    from pggan_tpu.training.state import init_state, make_optimizer
+    from pggan_tpu.training.steps import TrainStepBuilder
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    shape = (1, 3, 1024, 1024)  # paper config
+    G = Generator(shape)
+    D = Discriminator(shape)
+    opt = make_optimizer()
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    state = init_state(G.init(keys[0]), D.init(keys[1]), opt, keys[2])
+    builder = TrainStepBuilder(G, D, opt)
+
+    # primary: 128x128 stage (depth 5), reference minibatch 16
+    dt128, state = time_step(builder, state, depth=5, batch=16)
+    kimg_per_hour = 16.0 / dt128 * 3600.0 / 1000.0
+    print(f"step@128px: {dt128 * 1000:.2f} ms  "
+          f"({kimg_per_hour:.1f} kimg/h/chip)", file=sys.stderr)
+
+    # secondary: 1024x1024 stage (depth 8), reference minibatch 3
+    try:
+        dt1024, state = time_step(builder, state, depth=8, batch=3,
+                                  iters=10, warmup=2)
+        print(f"step@1024px: {dt1024 * 1000:.2f} ms  "
+              f"({3.0 / dt1024 * 3.6:.2f} kimg/h/chip)", file=sys.stderr)
+    except Exception as e:  # memory-bound on small chips; not the headline
+        print(f"1024px step skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "kimg_per_hour_chip_128px",
+        "value": round(kimg_per_hour, 2),
+        "unit": "kimg/h",
+        "vs_baseline": round(kimg_per_hour / REFERENCE_ANCHOR_KIMG_PER_HOUR, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Standalone inference/sampling entry point (reference generate.py).
+
+Loads a generator snapshot, draws latents, runs the jitted forward at the
+snapshot's (depth, alpha), and pipes NCHW numpy output through the
+configured postprocessors:
+
+    python -m pggan_tpu.cli.generate \
+        --generator_path results/001-exp/network-snapshot-generator-003000.dat \
+        --num_samples 6 --postprocessors "['ImageSaver']"
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+from functools import partial
+
+import numpy as np
+
+import jax
+
+import pggan_tpu.postprocess as postprocess_module
+from pggan_tpu.checkpoint import load_snapshot
+from pggan_tpu.utils.config import (
+    add_class_args,
+    generic_arg_parse,
+    get_all_classes,
+    get_structured_params,
+)
+from pggan_tpu.utils.misc import random_latents
+
+default_params = {
+    "generator_path": "",
+    "num_samples": 6,
+    "postprocessors": [],
+    "description": "unknown",
+    "random_seed": 0,
+}
+
+
+def output_samples(generator_path, num_samples, postprocessors, description,
+                   random_seed=0):
+    G, params, meta = load_snapshot(generator_path)
+    latent_size = G.latent_size
+    print("Sampling noise...")
+    rng = np.random.RandomState(random_seed)
+    z = random_latents(num_samples, latent_size, rng)
+    print("Generating...")
+    apply_fn = jax.jit(lambda p, zz: G.apply(p, zz, meta["depth"],
+                                             meta["alpha"]))
+    out = np.asarray(apply_fn(params, z)).transpose(0, 3, 1, 2)  # -> NCHW
+    print("Done.")
+    for proc in postprocessors:
+        print(f"Outputting for postprocessor: {proc}")
+        proc(out, description)
+    print("Done.")
+    return out
+
+
+def cli_main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    flat_defaults = dict(default_params)
+    for k in default_params:
+        parser.add_argument(
+            f"--{k}",
+            type=partial(generic_arg_parse, hinttype=type(default_params[k])))
+    add_class_args(parser, get_all_classes(postprocess_module),
+                   default_params=flat_defaults)
+    parser.set_defaults(**flat_defaults)
+    params = get_structured_params(vars(parser.parse_args(argv)))
+    postprocessors = [getattr(postprocess_module, x)(**params.get(x, {}))
+                      for x in params["postprocessors"]]
+    output_samples(params["generator_path"], params["num_samples"],
+                   postprocessors, params["description"],
+                   params["random_seed"])
+
+
+if __name__ == "__main__":
+    cli_main()

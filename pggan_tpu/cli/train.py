@@ -1,0 +1,351 @@
+"""Training entry point with the reflective ``--ClassName.param`` CLI
+(reference train.py).
+
+Composes dataset -> models -> fused step builder -> trainer -> plugin stack
+and runs the progressive schedule. Usage mirrors the reference:
+
+    python -m pggan_tpu.cli.train --dataset_class DefaultImageFolderDataset \
+        --DefaultImageFolderDataset.dir_path datasets/images \
+        --postprocessors "['ImageSaver']" --total_kimg 3000
+
+TPU specifics: with multiple visible devices a 1-D data-parallel mesh is
+built automatically (``--data_parallel False`` to disable); multi-host runs
+initialize ``jax.distributed`` from the environment and shard both the batch
+and the input file space per host.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from argparse import ArgumentParser
+from collections import OrderedDict
+from functools import partial
+
+import numpy as np
+
+import jax
+
+import pggan_tpu.data.datasets as dataset_module
+import pggan_tpu.postprocess as postprocess_module
+from pggan_tpu.checkpoint import load_snapshot, load_training_state
+from pggan_tpu.data.loader import DataIterator
+from pggan_tpu.models import Discriminator, Generator
+from pggan_tpu.parallel.mesh import (
+    check_batch_divisible,
+    data_parallel_mesh,
+    initialize_distributed,
+)
+from pggan_tpu.training.plugins import (
+    AbsoluteTimeMonitor,
+    DepthManager,
+    EfficientLossMonitor,
+    LRScheduler,
+    MetricsExporter,
+    OutputGenerator,
+    SaverPlugin,
+    TeeLogger,
+)
+from pggan_tpu.training.state import TrainState, init_state, make_optimizer
+from pggan_tpu.training.steps import TrainStepBuilder
+from pggan_tpu.training.trainer import Trainer
+from pggan_tpu.utils.config import (
+    add_class_args,
+    generic_arg_parse,
+    get_all_classes,
+    get_structured_params,
+)
+from pggan_tpu.utils.misc import (
+    create_result_subdir,
+    load_pkl,
+    params_to_str,
+    random_latents,
+    save_pkl,
+)
+
+
+class Adam:
+    """Flag-surface stand-in for the optimizer config (the reference exposes
+    ``--Adam.betas`` via torch's Adam signature, train.py:191-195; here the
+    optimizer is optax, configured through this group)."""
+
+    def __init__(self, betas=(0.0, 0.99), eps=1e-8):
+        self.betas = betas
+        self.eps = eps
+
+
+# Top-level hyperparams (reference train.py:23-48) + TPU additions.
+default_params = OrderedDict(
+    result_dir="results",
+    exp_name="specs512",
+    minibatch_size=16,
+    lr_rampup_kimg=40,
+    G_lr_max=0.001,
+    D_lr_max=0.001,
+    total_kimg=3000,
+    tick_kimg_default=20,
+    image_snapshot_ticks=3,
+    resume_network="",
+    resume_time=0,
+    num_data_workers=16,
+    random_seed=1337,
+    progressive_growing=True,
+    comet_key="",
+    comet_project_name="None",
+    iwass_lambda=10.0,
+    iwass_epsilon=0.001,
+    iwass_target=1.0,
+    save_dataset="",
+    load_dataset="",
+    dataset_class="",
+    postprocessors=[],
+    checkpoints_dir="",
+    # --- TPU-native additions ---
+    data_parallel=True,   # shard the batch over all visible devices
+    num_devices=0,        # 0 = all visible devices
+    metrics_jsonl=True,   # per-tick metrics.jsonl in the result dir
+)
+
+LOSSES = ["G_loss", "D_loss", "D_real", "D_fake"]
+
+
+def load_models(resume_network, result_dir, logger):
+    """Rebuild G/D from snapshot files; ``resume_network`` is a path pattern
+    relative to the results root with ``{}`` for the model name (reference
+    train.py:60-64)."""
+    logger.log(f"Resuming {resume_network}")
+    g_path = os.path.join(result_dir, resume_network.format("generator"))
+    d_path = os.path.join(result_dir, resume_network.format("discriminator"))
+    G, g_params, g_meta = load_snapshot(g_path)
+    D, d_params, d_meta = load_snapshot(d_path)
+    return G, D, g_params, d_params, g_meta, d_path
+
+
+def _resume_kimg(resume_network: str) -> int:
+    m = re.search(r"(\d+)\.dat$", resume_network.format("generator"))
+    return int(m.group(1)) if m else 0
+
+
+def make_experiment(params):
+    """Optional CometML wiring (reference train.py:67-87); returns None when
+    no key is configured or comet_ml is unavailable."""
+    if not params["comet_key"]:
+        return None
+    try:
+        from comet_ml import Experiment
+    except ImportError as e:
+        print(f"Unable to load comet_ml: {e}")
+        return None
+    experiment = Experiment(api_key=params["comet_key"],
+                            project_name=params["comet_project_name"],
+                            log_code=False)
+    experiment.log_parameters({k: str(v) for k, v in params.items()
+                               if not isinstance(v, dict)})
+    return experiment
+
+
+def main(params):
+    initialize_distributed()
+    np.random.seed(params["random_seed"])
+    master_key = jax.random.PRNGKey(params["random_seed"])
+
+    # -- dataset (reference train.py:91-98) ---------------------------------
+    if params["load_dataset"]:
+        dataset = load_pkl(params["load_dataset"])
+    elif params["dataset_class"]:
+        cls = getattr(dataset_module, params["dataset_class"])
+        dataset = cls(**params.get(params["dataset_class"], {}))
+        if params["save_dataset"]:
+            save_pkl(params["save_dataset"], dataset)
+    else:
+        raise Exception("One of either load_dataset (path to pkl) or "
+                        "dataset_class needs to be specified.")
+
+    result_dir = create_result_subdir(params["result_dir"], params["exp_name"])
+
+    stats_to_log = ["tick_stat", "kimg_stat"]
+    if params["progressive_growing"]:
+        stats_to_log.extend(["depth", "alpha", "lod", "minibatch_size"])
+    stats_to_log.extend(["time", "sec.tick", "sec.kimg"] + LOSSES)
+    logger = TeeLogger(os.path.join(result_dir, "log.txt"), stats_to_log,
+                       [(1, "epoch")])
+    logger.log(params_to_str(params))
+
+    # -- models (reference train.py:120-138) --------------------------------
+    resume_state = None
+    resume_nimg = params.get("Trainer", {}).get("resume_nimg", 0)
+    if params["resume_network"]:
+        G, D, g_params, d_params, g_meta, d_path = load_models(
+            params["resume_network"], params["result_dir"], logger)
+        if not resume_nimg:
+            resume_nimg = _resume_kimg(params["resume_network"]) * 1000
+        state_path = os.path.join(
+            os.path.dirname(d_path),
+            SaverPlugin.state_pattern.format(
+                "{:06}".format(resume_nimg // 1000)))
+        if os.path.exists(state_path):
+            resume_state, resume_nimg, resume_iterations = \
+                load_training_state(state_path)
+            logger.log(f"Restored full training state from {state_path}")
+        else:
+            resume_iterations = 0
+    else:
+        G = Generator(dataset.shape, **params.get("Generator", {}))
+        D = Discriminator(dataset.shape, **params.get("Discriminator", {}))
+        g_params = d_params = None
+        resume_iterations = 0
+    if params["progressive_growing"]:
+        assert G.max_depth == D.max_depth
+    latent_size = G.latent_size
+
+    logger.log(str(G))
+    logger.log(str(D))
+
+    # -- parallelism --------------------------------------------------------
+    mesh = None
+    n_dev = params["num_devices"] or jax.device_count()
+    if params["data_parallel"] and n_dev > 1:
+        mesh = data_parallel_mesh(n_dev)
+        logger.log(f"Data-parallel mesh over {n_dev} devices "
+                   f"({jax.process_count()} host(s))")
+
+    # -- optimizer + state --------------------------------------------------
+    adam_cfg = params.get("Adam", {})
+    optimizer = make_optimizer(b1=adam_cfg.get("betas", (0.0, 0.99))[0],
+                               b2=adam_cfg.get("betas", (0.0, 0.99))[1],
+                               eps=adam_cfg.get("eps", 1e-8))
+    if resume_state is not None:
+        state = TrainState(*resume_state) if not isinstance(
+            resume_state, TrainState) else resume_state
+    else:
+        kg, kd, krest = jax.random.split(master_key, 3)
+        if g_params is None:
+            g_params = G.init(kg)
+            d_params = D.init(kd)
+        state = init_state(g_params, d_params, optimizer, krest)
+
+    logger.log("Total number of parameters in Generator: {}".format(
+        G.num_params(state.g_params)))
+    logger.log("Total number of parameters in Discriminator: {}".format(
+        D.num_params(state.d_params)))
+
+    trainer_cfg = dict(params.get("Trainer", {}))
+    trainer_cfg.pop("resume_nimg", None)
+    trainer_cfg.pop("resume_iterations", None)
+    d_repeats = trainer_cfg.pop("D_training_repeats", 1)
+
+    builder = TrainStepBuilder(
+        G, D, optimizer, d_training_repeats=d_repeats,
+        iwass_lambda=params["iwass_lambda"],
+        iwass_epsilon=params["iwass_epsilon"],
+        iwass_target=params["iwass_target"],
+        mesh=mesh)
+
+    # -- input pipeline (reference train.py:140-145) ------------------------
+    def get_dataiter(minibatch_size):
+        if mesh is not None:
+            check_batch_divisible(minibatch_size, mesh)
+        return DataIterator(dataset, minibatch_size,
+                            num_workers=params["num_data_workers"],
+                            seed=params["random_seed"] + jax.process_index(),
+                            shard_index=jax.process_index(),
+                            num_shards=jax.process_count())
+
+    def rl(bs):
+        return lambda: random_latents(bs, latent_size)
+
+    mb_def = params["minibatch_size"]
+    trainer = Trainer(G, D, builder, state, dataset,
+                      None if params["progressive_growing"]
+                      else iter(get_dataiter(mb_def)),
+                      rl(mb_def),
+                      D_training_repeats=d_repeats,
+                      resume_nimg=resume_nimg,
+                      resume_iterations=resume_iterations,
+                      **trainer_cfg)
+
+    # -- plugin stack, reference order (train.py:167-184) -------------------
+    if params["progressive_growing"]:
+        max_depth = min(G.max_depth, D.max_depth)
+        dm_cfg = dict(params.get("DepthManager", {}))
+        if dm_cfg.get("max_lod") is None:  # Karras-parity lod logging on by default
+            dm_cfg["max_lod"] = G.R
+        if dm_cfg.get("depth_offset") is None:
+            dm_cfg["depth_offset"] = dataset.model_dataset_depth_offset
+        trainer.register_plugin(DepthManager(get_dataiter, rl, max_depth,
+                                             **dm_cfg))
+    else:
+        trainer.depth = dataset.model_depth
+        trainer.alpha = dataset.alpha
+        trainer.minibatch_size = mb_def
+    for i, loss_name in enumerate(LOSSES):
+        trainer.register_plugin(EfficientLossMonitor(i, loss_name))
+
+    checkpoints_dir = params["checkpoints_dir"] or result_dir
+    trainer.register_plugin(SaverPlugin(checkpoints_dir,
+                                        **params.get("SaverPlugin", {})))
+
+    def substitute_samples_path(d):
+        return {k: (os.path.join(result_dir, v) if k == "samples_path" else v)
+                for k, v in d.items()}
+
+    postprocessors = [
+        getattr(postprocess_module, x)(
+            **substitute_samples_path(params.get(x, {})))
+        for x in params["postprocessors"]
+    ]
+    trainer.register_plugin(OutputGenerator(
+        lambda n: random_latents(n, latent_size), postprocessors,
+        **params.get("OutputGenerator", {})))
+    trainer.register_plugin(AbsoluteTimeMonitor(params["resume_time"]))
+    trainer.register_plugin(LRScheduler(params["D_lr_max"],
+                                        params["G_lr_max"],
+                                        params["lr_rampup_kimg"]))
+    trainer.register_plugin(logger)
+    metric_fields = [f"{l}.epoch_mean" for l in LOSSES] + \
+        ["sec.kimg", "sec.tick", "kimg_stat"] + \
+        (["depth", "alpha"] if params["progressive_growing"] else [])
+    experiment = make_experiment(params)
+    if params["metrics_jsonl"] or experiment is not None:
+        trainer.register_plugin(MetricsExporter(
+            metric_fields,
+            jsonl_path=(os.path.join(result_dir, "metrics.jsonl")
+                        if params["metrics_jsonl"] else None),
+            experiment=experiment))
+
+    trainer.run(params["total_kimg"])
+    if hasattr(trainer.dataiter, "close") and trainer.dataiter is not None:
+        trainer.dataiter.close()
+    dataset.close()
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description=__doc__)
+    needarg_classes = [Trainer, Generator, Discriminator, DepthManager,
+                       SaverPlugin, OutputGenerator, Adam]
+    needarg_classes += get_all_classes(dataset_module)
+    needarg_classes += get_all_classes(postprocess_module)
+    excludes = {
+        "Generator": {"dtype"},
+        "Discriminator": {"dtype"},
+        "DepthManager": {"create_dataiter_fun", "create_rlg", "max_depth"},
+    }
+    flat_defaults = dict(default_params)
+    for k in default_params:
+        parser.add_argument(
+            f"--{k}",
+            type=partial(generic_arg_parse, hinttype=type(default_params[k])))
+    add_class_args(parser, needarg_classes, excludes=excludes,
+                   default_params=flat_defaults)
+    parser.set_defaults(**flat_defaults)
+    return parser
+
+
+def cli_main(argv=None):
+    parser = build_parser()
+    params = get_structured_params(vars(parser.parse_args(argv)))
+    main(params)
+
+
+if __name__ == "__main__":
+    cli_main()

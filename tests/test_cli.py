@@ -1,0 +1,190 @@
+"""CLI layer tests: reflective config system, train entry point end-to-end on
+a tiny image folder, generate entry point from the produced snapshot
+(SURVEY.md §2.7 parity)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pggan_tpu.utils.config import (
+    create_params,
+    generic_arg_parse,
+    get_all_classes,
+    get_structured_params,
+)
+
+
+class _Demo:
+    def __init__(self, a, b=3, c="x", d=(1, 2)):
+        pass
+
+
+def test_create_params_defaults_only():
+    params = create_params([_Demo])
+    assert params == {"_Demo": {"b": 3, "c": "x", "d": (1, 2)}}
+
+
+def test_create_params_excludes_and_overrides():
+    params = create_params([_Demo], excludes={"_Demo": {"c"}},
+                           overrides={"_Demo": {"b": 7}})
+    assert params == {"_Demo": {"b": 7, "d": (1, 2)}}
+
+
+def test_generic_arg_parse_literals():
+    assert generic_arg_parse("3") == 3
+    assert generic_arg_parse("3.5") == 3.5
+    assert generic_arg_parse("(1, 2)") == (1, 2)
+    assert generic_arg_parse("['ImageSaver']") == ["ImageSaver"]
+    assert generic_arg_parse("True") is True
+    assert generic_arg_parse("some/path.wav") == "some/path.wav"
+    assert generic_arg_parse("'quoted'") == "quoted"
+    assert generic_arg_parse("7", hinttype=str) == "7"
+
+
+def test_generic_arg_parse_never_evals_code():
+    # ast.literal_eval must reject expressions (the reference eval'd them)
+    assert generic_arg_parse("__import__('os').getcwd()") == \
+        "__import__('os').getcwd()"
+
+
+def test_get_structured_params():
+    flat = {"total_kimg": 3, "Generator.latent_size": 64,
+            "Generator.fmap_base": 128, "SaverPlugin.network_snapshot_ticks": 2}
+    out = get_structured_params(flat)
+    assert out["total_kimg"] == 3
+    assert out["Generator"] == {"latent_size": 64, "fmap_base": 128}
+    assert out["SaverPlugin"] == {"network_snapshot_ticks": 2}
+
+
+def test_train_parser_exposes_reference_flags():
+    from pggan_tpu.cli.train import build_parser
+    parser = build_parser()
+    args = parser.parse_args([])
+    flat = vars(args)
+    # reference-parity flags
+    for flag in ("total_kimg", "minibatch_size", "progressive_growing",
+                 "iwass_lambda", "resume_network", "dataset_class",
+                 "Generator.latent_size", "Generator.fmap_base",
+                 "Discriminator.fmap_max", "DepthManager.minibatch_default",
+                 "DepthManager.lod_training_nimg", "Trainer.D_training_repeats",
+                 "SaverPlugin.network_snapshot_ticks",
+                 "OutputGenerator.samples_count", "Adam.betas",
+                 "DefaultImageFolderDataset.dir_path",
+                 "SoundImageDataset.n_fft", "ImageSaver.resolution",
+                 "SoundSaver.griffin_lim_iter"):
+        assert flag in flat, flag
+    assert flat["Adam.betas"] == (0.0, 0.99)
+    assert flat["DepthManager.minibatch_overrides"] == {6: 14, 7: 6, 8: 3}
+
+
+def _write_pngs(tmpdir, n=8, size=16):
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    os.makedirs(tmpdir, exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 256, (size, size), dtype=np.uint8),
+                        "L").save(os.path.join(tmpdir, f"i{i:02}.png"))
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    """Full CLI train run on a tiny 16x16 image folder."""
+    from pggan_tpu.cli.train import cli_main
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = str(root / "imgs")
+    results = str(root / "results")
+    _write_pngs(data_dir)
+    cli_main([
+        "--result_dir", results,
+        "--exp_name", "t",
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--num_data_workers", "2",
+        "--total_kimg", "0.5",
+        "--minibatch_size", "8",
+        "--lr_rampup_kimg", "0.2",
+        "--postprocessors", "['ImageSaver']",
+        "--ImageSaver.samples_path", "samples",
+        "--ImageSaver.resolution", "32",
+        "--DepthManager.minibatch_default", "8",
+        "--DepthManager.lod_training_nimg", "150",
+        "--DepthManager.lod_transition_nimg", "150",
+        "--DepthManager.tick_kimg_default", "0.128",
+        "--DepthManager.tick_kimg_overrides", "{}",
+        "--Trainer.tick_nimg_default", "128",
+        "--Generator.latent_size", "16",
+        "--Generator.fmap_base", "64",
+        "--Generator.fmap_max", "32",
+        "--Discriminator.fmap_base", "64",
+        "--Discriminator.fmap_max", "32",
+        "--SaverPlugin.network_snapshot_ticks", "2",
+        "--OutputGenerator.samples_count", "4",
+        "--data_parallel", "False",
+    ])
+    run_dir = glob.glob(os.path.join(results, "*-t"))[0]
+    return run_dir
+
+
+def test_cli_train_produces_artifacts(cli_run):
+    run_dir = cli_run
+    log = open(os.path.join(run_dir, "log.txt")).read()
+    assert "tick" in log and "depth" in log
+    assert glob.glob(os.path.join(run_dir, "network-snapshot-generator-*.dat"))
+    assert glob.glob(os.path.join(run_dir, "training-state-*.dat"))
+    assert glob.glob(os.path.join(run_dir, "samples", "fakes_*.png"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_cli_generate_from_snapshot(cli_run, tmp_path):
+    from pggan_tpu.cli.generate import cli_main as gen_main
+    snap = glob.glob(os.path.join(cli_run,
+                                  "network-snapshot-generator-*.dat"))[0]
+    out_dir = str(tmp_path / "gen")
+    gen_main([
+        "--generator_path", snap,
+        "--num_samples", "4",
+        "--postprocessors", "['ImageSaver']",
+        "--ImageSaver.samples_path", out_dir,
+        "--ImageSaver.resolution", "32",
+        "--description", "smoke",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "fakes_smoke.png"))
+
+
+def test_cli_resume(cli_run):
+    """Resume from the produced snapshot: schedule position must re-derive
+    from the checkpointed nimg (reference SURVEY.md §3.5)."""
+    from pggan_tpu.cli.train import cli_main
+    results_root = os.path.dirname(cli_run)
+    rel = os.path.join(os.path.basename(cli_run),
+                       "network-snapshot-{}-000000.dat")
+    data_dir = os.path.join(os.path.dirname(results_root), "imgs")
+    cli_main([
+        "--result_dir", results_root,
+        "--exp_name", "resume",
+        "--resume_network", rel,
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--num_data_workers", "2",
+        "--total_kimg", "0.6",
+        "--minibatch_size", "8",
+        "--postprocessors", "[]",
+        "--DepthManager.minibatch_default", "8",
+        "--DepthManager.lod_training_nimg", "150",
+        "--DepthManager.lod_transition_nimg", "150",
+        "--DepthManager.tick_kimg_default", "0.128",
+        "--DepthManager.tick_kimg_overrides", "{}",
+        "--Generator.latent_size", "16",
+        "--Generator.fmap_base", "64",
+        "--Generator.fmap_max", "32",
+        "--Discriminator.fmap_base", "64",
+        "--Discriminator.fmap_max", "32",
+        "--data_parallel", "False",
+    ])
+    resume_dir = glob.glob(os.path.join(results_root, "*-resume"))[0]
+    log = open(os.path.join(resume_dir, "log.txt")).read()
+    assert "Restored full training state" in log or "Resuming" in log
