@@ -104,6 +104,8 @@ default_params = OrderedDict(
     data_parallel=True,   # shard the batch over all visible devices
     num_devices=0,        # 0 = all visible devices
     metrics_jsonl=True,   # per-tick metrics.jsonl in the result dir
+    debug_nans=False,     # jax nan-checker sanitizer mode (SURVEY.md §5)
+    profile_dir="",       # capture a jax.profiler trace of a few steps
 )
 
 LOSSES = ["G_loss", "D_loss", "D_real", "D_fake"]
@@ -146,6 +148,8 @@ def make_experiment(params):
 
 def main(params):
     initialize_distributed()
+    if params.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
     np.random.seed(params["random_seed"])
     master_key = jax.random.PRNGKey(params["random_seed"])
 
@@ -297,6 +301,9 @@ def main(params):
     trainer.register_plugin(OutputGenerator(
         lambda n: random_latents(n, latent_size), postprocessors,
         **params.get("OutputGenerator", {})))
+    if params.get("profile_dir"):
+        from pggan_tpu.training.plugins import TraceProfiler
+        trainer.register_plugin(TraceProfiler(params["profile_dir"]))
     trainer.register_plugin(AbsoluteTimeMonitor(params["resume_time"]))
     trainer.register_plugin(LRScheduler(params["D_lr_max"],
                                         params["G_lr_max"],

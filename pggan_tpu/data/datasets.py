@@ -96,6 +96,19 @@ class DepthDataset:
                                          self.range_out)
         return datapoint.astype(np.float32)
 
+    def raw_batch(self, items) -> np.ndarray | None:
+        """uint8 HWC batch at the current depth, for the fused native
+        fade+remap path (data/native.py); None when raw data is not
+        directly addressable (e.g. lazy folder datasets)."""
+        try:
+            level = self.data[self.model_depth
+                              + self.model_dataset_depth_offset]
+        except (AttributeError, NotImplementedError):
+            return None
+        if level is None or level.dtype != np.uint8:
+            return None
+        return level[items]
+
     def close(self):
         pass
 
@@ -275,6 +288,10 @@ class DefaultImageFolderDataset(FolderDataset):
     def create_datapoint_from_depth(self, datapoint, datapoint_depth,
                                     target_depth):
         factor = self.scale_factor ** (datapoint_depth - target_depth)
+        if datapoint.dtype == np.uint8 and self.range_in == (0, 255):
+            from pggan_tpu.data import native
+            if native.available():  # bit-identical C++ fast path
+                return native.box_downsample_u8(datapoint, factor)
         down = box_downsample(datapoint, factor)
         return np.uint8(np.clip(np.round(down), self.range_in[0],
                                 self.range_in[1]))

@@ -82,10 +82,20 @@ class DataIterator:
         return np.arange(shard_index, n, num_shards)
 
     def _worker(self):
+        from pggan_tpu.data import native
         while not self._stop.is_set():
             idxs = self.sampler.take_batch(self.batch_size)
             try:
-                batch = np.stack([self.dataset[i] for i in idxs], axis=0)
+                raw = (self.dataset.raw_batch(idxs)
+                       if hasattr(self.dataset, "raw_batch") else None)
+                if raw is not None:
+                    # fused fade + dynamic-range remap (C++ when built,
+                    # identical numpy fallback otherwise)
+                    batch = native.prep_batch_f32(
+                        raw, self.dataset.alpha,
+                        self.dataset.range_in, self.dataset.range_out)
+                else:
+                    batch = np.stack([self.dataset[i] for i in idxs], axis=0)
             except Exception as e:  # surface worker errors to the consumer
                 self._put((None, e))
                 return

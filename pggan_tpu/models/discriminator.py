@@ -41,9 +41,13 @@ class Discriminator:
     wscale: bool = True
     pixelnorm: bool = False
     leakyrelu: bool = True
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
     dtype: object = field(default=jnp.float32, repr=False)
 
     def __post_init__(self):
+        self._compute = (jnp.bfloat16
+                         if str(self.compute_dtype) in ("bfloat16", "bf16")
+                         else None)
         resolution = int(self.dataset_shape[-1])
         self.num_channels = int(self.dataset_shape[1])
         self.R = int(math.log2(resolution))
@@ -95,6 +99,7 @@ class Discriminator:
             act=self.act if act == "default" else act,
             use_pixelnorm=self.pixelnorm if use_pixelnorm is None else use_pixelnorm,
             eps=self.eps,
+            compute_dtype=self._compute,
         )
 
     def _fromrgb(self, p, x):
@@ -139,7 +144,7 @@ class Discriminator:
             if i > 1:
                 h = avg_pool_2x(h)
         h = h.reshape(h.shape[0], -1)  # squeeze 1x1 spatial -> (N, nf(0))
-        return equalized_dense(params["linear"], h)
+        return equalized_dense(params["linear"], h.astype(jnp.float32))
 
     def num_params(self, params: dict) -> int:
         return sum(x.size for x in jax.tree_util.tree_leaves(params))

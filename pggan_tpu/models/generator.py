@@ -64,9 +64,13 @@ class Generator:
     wscale: bool = True
     pixelnorm: bool = True
     leakyrelu: bool = True
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
     dtype: object = field(default=jnp.float32, repr=False)
 
     def __post_init__(self):
+        self._compute = (jnp.bfloat16
+                         if str(self.compute_dtype) in ("bfloat16", "bf16")
+                         else None)
         resolution = int(self.dataset_shape[-1])
         self.num_channels = int(self.dataset_shape[1])
         self.R = int(math.log2(resolution))
@@ -107,6 +111,7 @@ class Generator:
             act=self.act if act == "default" else act,
             use_pixelnorm=self.pixelnorm if use_pixelnorm is None else use_pixelnorm,
             eps=self.eps,
+            compute_dtype=self._compute,
         )
 
     def _block(self, p, h, first: bool):
@@ -131,7 +136,7 @@ class Generator:
             h = pixelnorm(h, self.eps)
         h = self._block(params["block0"], h, first=True)
         if depth == 0:
-            return self._torgb(params["block0"], h)
+            return self._torgb(params["block0"], h).astype(jnp.float32)
         for i in range(depth - 1):
             h = upsample_nearest_2x(h)
             h = self._block(params["blocks"][i], h, first=False)
@@ -139,8 +144,9 @@ class Generator:
         ult = self._block(params["blocks"][depth - 1], h, first=False)
         ult = self._torgb(params["blocks"][depth - 1], ult)
         prev_p = params["blocks"][depth - 2] if depth > 1 else params["block0"]
-        prev_rgb = self._torgb(prev_p, h)
-        alpha = jnp.asarray(alpha, self.dtype)
+        prev_rgb = self._torgb(prev_p, h).astype(jnp.float32)
+        ult = ult.astype(jnp.float32)  # images and the blend stay f32
+        alpha = jnp.asarray(alpha, jnp.float32)
         return prev_rgb * (1.0 - alpha) + ult * alpha
 
     def num_params(self, params: dict) -> int:

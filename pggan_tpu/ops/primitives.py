@@ -69,7 +69,8 @@ def minibatch_stddev(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     XLA cross-replica reductions automatically (GSPMD), keeping the statistic
     a true global-batch quantity.
     """
-    s = jnp.sqrt(jnp.mean(jnp.square(x - jnp.mean(x))) + eps)
+    xf = x.astype(jnp.float32)  # batch statistics always in f32
+    s = jnp.sqrt(jnp.mean(jnp.square(xf - jnp.mean(xf))) + eps)
     tile = jnp.broadcast_to(s, x.shape[:-1] + (1,)).astype(x.dtype)
     return jnp.concatenate([x, tile], axis=-1)
 
@@ -137,24 +138,39 @@ def equalized_conv2d(params: dict, x: jax.Array, *, padding: int = 1,
                      stride: int = 1, wscale: bool = True,
                      act: str | None = "lrelu",
                      use_pixelnorm: bool = True,
-                     eps: float = 1e-8) -> jax.Array:
+                     eps: float = 1e-8,
+                     compute_dtype=None) -> jax.Array:
     """The reference's ``PGConv2d`` forward (network.py:32-41), NHWC.
 
     conv(x * c) -> optional activation -> optional pixelnorm. The runtime
     wscale constant is folded into the weight (scalar commutes with conv).
+
+    Mixed precision (TPU-native): with ``compute_dtype=bfloat16`` the conv
+    operands are cast to bf16 (feeding the MXU at full rate and halving the
+    HBM traffic of inter-layer activations — the bottleneck at high
+    resolutions where channel counts are small), while accumulation
+    (``preferred_element_type``), bias, activation and the pixelnorm
+    statistics stay in float32. Parameters are always stored float32.
     """
     w = params["w"]
     ksize, _, ch_in, _ = w.shape
     if wscale:
         w = w * he_constant(ksize * ksize * ch_in)
+    if compute_dtype is not None:
+        w = w.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+    # In mixed precision the conv emits compute_dtype (the MXU still
+    # accumulates bf16 products in f32 internally); asking for an f32 output
+    # via preferred_element_type would break the conv transpose rule under
+    # grad (mixed-dtype operands). Elementwise epilogue runs in f32 below.
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if compute_dtype is None else None),
     )
-    y = y + params["b"]
+    y = y.astype(jnp.float32) + params["b"]
     if act == "lrelu":
         y = leaky_relu(y, 0.2)
     elif act == "relu":
@@ -163,6 +179,8 @@ def equalized_conv2d(params: dict, x: jax.Array, *, padding: int = 1,
         raise ValueError(f"unknown act: {act!r}")
     if use_pixelnorm:
         y = pixelnorm(y, eps)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     return y
 
 

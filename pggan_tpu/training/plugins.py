@@ -336,6 +336,37 @@ class MetricsExporter(Plugin):
 CometPlugin = MetricsExporter
 
 
+class TraceProfiler(Plugin):
+    """On-demand device trace capture (the tracing subsystem the reference
+    lacks, SURVEY.md §5): records a ``jax.profiler`` trace of
+    ``num_iterations`` steady-state iterations into ``profile_dir`` (viewable
+    with TensorBoard / xprof). Starts after ``start_iteration`` so compile
+    time is excluded."""
+
+    def __init__(self, profile_dir, start_iteration=20, num_iterations=5):
+        super().__init__([(1, "iteration")])
+        self.profile_dir = profile_dir
+        self.start_iteration = start_iteration
+        self.stop_iteration = start_iteration + num_iterations
+        self._active = False
+        self._done = False
+
+    def iteration(self, idx, *args):
+        import jax
+        if self._done:
+            return
+        if not self._active and idx >= self.start_iteration:
+            jax.profiler.start_trace(self.profile_dir)
+            self._active = True
+        elif self._active and idx >= self.stop_iteration:
+            jax.block_until_ready(self.trainer.state.g_params)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            print(f"[TraceProfiler] trace written to {self.profile_dir}",
+                  flush=True)
+
+
 class Logger(Plugin):
     """Tick-line logger over the stats registry (the torch Logger role the
     reference subclasses at plugins.py:219-231).

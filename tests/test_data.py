@@ -183,6 +183,9 @@ def test_data_iterator_sharded():
 
 def test_data_iterator_error_propagation():
     class Broken(SyntheticDataset):
+        def raw_batch(self, items):
+            return None  # force the itemwise path
+
         def __getitem__(self, i):
             raise RuntimeError("boom")
 
