@@ -24,6 +24,7 @@ from pggan_tpu.ops.primitives import (
     conv_init,
     dense_init,
     equalized_conv2d,
+    equalized_conv2d_pool_in,
     equalized_dense,
     minibatch_stddev,
     nf,
@@ -42,6 +43,7 @@ class Discriminator:
     pixelnorm: bool = False
     leakyrelu: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
+    fused_scale: bool = True  # fuse the fade path's pool into fromRGB (exact)
     dtype: object = field(default=jnp.float32, repr=False)
 
     def __post_init__(self):
@@ -135,8 +137,15 @@ class Discriminator:
             h = avg_pool_2x(h)
             # fade-in blend with the next block's fromRGB of the downsampled
             # input (network.py:230-233); alpha traced, always blended.
-            x_low = avg_pool_2x(x)
-            prev = self._fromrgb(blocks[n - depth], x_low)
+            if self.fused_scale:
+                # exact fusion: pool precedes the 1x1 conv, so the mean
+                # commutes into the kernel (ops/primitives.py pool-in)
+                prev = equalized_conv2d_pool_in(
+                    blocks[n - depth]["fromrgb"], x, wscale=self.wscale,
+                    act=self.act, use_pixelnorm=False, eps=self.eps,
+                    compute_dtype=self._compute)
+            else:
+                prev = self._fromrgb(blocks[n - depth], avg_pool_2x(x))
             alpha_c = jnp.asarray(alpha, self.dtype)
             h = h * alpha_c + (1.0 - alpha_c) * prev
         for i in range(depth, 0, -1):

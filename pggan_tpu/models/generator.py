@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from pggan_tpu.ops.primitives import (
     conv_init,
     equalized_conv2d,
+    equalized_conv2d_up2x,
     nf,
     pixelnorm,
     upsample_nearest_2x,
@@ -65,6 +66,7 @@ class Generator:
     pixelnorm: bool = True
     leakyrelu: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
+    fused_scale: bool = True  # fuse upsample into the stage conv (exact)
     dtype: object = field(default=jnp.float32, repr=False)
 
     def __post_init__(self):
@@ -119,6 +121,17 @@ class Generator:
         h = self._conv(p["c2"], h, ksize=3, pad=1)
         return h
 
+    def _block_up(self, p, h):
+        """Growth-stage block with the 2x upsample fused into c1: never
+        materializes the upsampled tensor (ops/primitives.py fused-scale).
+        Exactly equivalent to ``_block(upsample_nearest_2x(h))``."""
+        h = equalized_conv2d_up2x(
+            p["c1"], h, wscale=self.wscale, act=self.act,
+            use_pixelnorm=self.pixelnorm, eps=self.eps,
+            compute_dtype=self._compute)
+        h = self._conv(p["c2"], h, ksize=3, pad=1)
+        return h
+
     def _torgb(self, p, h):
         return self._conv(p["torgb"], h, ksize=1, pad=0,
                           use_pixelnorm=False, act=None)
@@ -137,14 +150,25 @@ class Generator:
         h = self._block(params["block0"], h, first=True)
         if depth == 0:
             return self._torgb(params["block0"], h).astype(jnp.float32)
-        for i in range(depth - 1):
-            h = upsample_nearest_2x(h)
-            h = self._block(params["blocks"][i], h, first=False)
-        h = upsample_nearest_2x(h)
-        ult = self._block(params["blocks"][depth - 1], h, first=False)
-        ult = self._torgb(params["blocks"][depth - 1], ult)
         prev_p = params["blocks"][depth - 2] if depth > 1 else params["block0"]
-        prev_rgb = self._torgb(prev_p, h).astype(jnp.float32)
+        if self.fused_scale:
+            for i in range(depth - 1):
+                h = self._block_up(params["blocks"][i], h)
+            ult = self._block_up(params["blocks"][depth - 1], h)
+            ult = self._torgb(params["blocks"][depth - 1], ult)
+            # toRGB (1x1) commutes exactly with nearest upsample: apply at
+            # low res then upsample — same values, 1/4 the conv work
+            # (reference order: network.py:129-135).
+            prev_rgb = upsample_nearest_2x(self._torgb(prev_p, h))
+        else:
+            for i in range(depth - 1):
+                h = upsample_nearest_2x(h)
+                h = self._block(params["blocks"][i], h, first=False)
+            h = upsample_nearest_2x(h)
+            ult = self._block(params["blocks"][depth - 1], h, first=False)
+            ult = self._torgb(params["blocks"][depth - 1], ult)
+            prev_rgb = self._torgb(prev_p, h)
+        prev_rgb = prev_rgb.astype(jnp.float32)
         ult = ult.astype(jnp.float32)  # images and the blend stay f32
         alpha = jnp.asarray(alpha, jnp.float32)
         return prev_rgb * (1.0 - alpha) + ult * alpha

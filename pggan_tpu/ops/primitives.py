@@ -187,3 +187,107 @@ def equalized_conv2d(params: dict, x: jax.Array, *, padding: int = 1,
 def equalized_dense(params: dict, x: jax.Array) -> jax.Array:
     """Plain linear layer (reference's final D ``nn.Linear``)."""
     return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# Fused scale-change convolutions
+# ---------------------------------------------------------------------------
+# The reference materializes a 2x-upsampled tensor before each G stage conv
+# (network.py:127-129) and a full-resolution conv output before each D
+# downsample (network.py:235-238). On TPU those intermediates are pure HBM
+# traffic — the dominant cost at high resolutions where channel counts are
+# small. Both edges collapse into single XLA convolutions by convolution
+# associativity (the "fused scale" trick of Karras' original TF
+# implementation), bit-exact up to float reassociation:
+#
+#   conv3x3(nearest_up2x(x), w) == conv(x, ones2x2 (*) w, lhs_dilation=2)
+#   avg_pool2x(conv3x3(x, w))   == conv(x, w (*) ones2x2/4, stride=2)
+#
+# where (*) is full 2-D cross-correlation superposition producing a 4x4
+# kernel. The upsampled / full-res tensors are never written to memory, and
+# the MXU still sees a plain (dilated/strided) convolution.
+
+def _superpose_up(w3: jax.Array) -> jax.Array:
+    """4x4 kernel K with K[p,q] = sum_{a,b in {0,1}} w3[p-a, q-b]."""
+    k = jnp.zeros((4, 4) + w3.shape[2:], w3.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            k = k.at[a:a + 3, b:b + 3].add(w3)
+    return k
+
+
+def _conv_epilogue(y, b, act, use_pixelnorm, eps, compute_dtype):
+    y = y.astype(jnp.float32) + b
+    if act == "lrelu":
+        y = leaky_relu(y, 0.2)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act is not None:
+        raise ValueError(f"unknown act: {act!r}")
+    if use_pixelnorm:
+        y = pixelnorm(y, eps)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def equalized_conv2d_up2x(params: dict, x: jax.Array, *, wscale: bool = True,
+                          act: str | None = "lrelu",
+                          use_pixelnorm: bool = True, eps: float = 1e-8,
+                          compute_dtype=None) -> jax.Array:
+    """Fused ``nearest_up2x -> 3x3 equalized conv -> act -> pixelnorm``.
+
+    Exactly equal (modulo float reassociation) to
+    ``equalized_conv2d(upsample_nearest_2x(x))`` with padding 1: output is
+    (N, 2H, 2W, C_out). The wscale constant uses the logical 3x3 fan-in.
+    """
+    w = params["w"]
+    assert w.shape[0] == 3 and w.shape[1] == 3, "up-fusion is for 3x3 convs"
+    ch_in = w.shape[2]
+    if wscale:
+        w = w * he_constant(3 * 3 * ch_in)
+    k = _superpose_up(w)
+    if compute_dtype is not None:
+        k = k.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=(jnp.float32 if compute_dtype is None else None),
+    )
+    return _conv_epilogue(y, params["b"], act, use_pixelnorm, eps,
+                          compute_dtype)
+
+
+def equalized_conv2d_pool_in(params: dict, x: jax.Array, *,
+                             wscale: bool = True, act: str | None = "lrelu",
+                             use_pixelnorm: bool = False, eps: float = 1e-8,
+                             compute_dtype=None) -> jax.Array:
+    """Fused ``2x2 avg-pool -> 1x1 equalized conv`` (exact: pooling precedes
+    the conv, so the mean commutes into the kernel).
+
+    Used for the D fade path ``fromRGB(avg_pool2d(x))`` (reference
+    network.py:231-232): a stride-2 2x2 conv with the 1x1 kernel spread at
+    weight/4, so the pooled full-channel tensor is never materialized.
+    """
+    w = params["w"]
+    assert w.shape[0] == 1 and w.shape[1] == 1, "pool-in fusion is for 1x1 convs"
+    ch_in = w.shape[2]
+    if wscale:
+        w = w * he_constant(ch_in)
+    k = jnp.broadcast_to(w * 0.25, (2, 2) + w.shape[2:])
+    if compute_dtype is not None:
+        k = k.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k,
+        window_strides=(2, 2),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=(jnp.float32 if compute_dtype is None else None),
+    )
+    return _conv_epilogue(y, params["b"], act, use_pixelnorm, eps,
+                          compute_dtype)
