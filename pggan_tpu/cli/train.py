@@ -106,6 +106,7 @@ default_params = OrderedDict(
     metrics_jsonl=True,   # per-tick metrics.jsonl in the result dir
     debug_nans=False,     # jax nan-checker sanitizer mode (SURVEY.md §5)
     profile_dir="",       # capture a jax.profiler trace of a few steps
+    device_input_prep=False,  # ship uint8 batches; fade+remap on device
 )
 
 LOSSES = ["G_loss", "D_loss", "D_real", "D_fake"]
@@ -253,7 +254,8 @@ def main(params):
                             num_workers=params["num_data_workers"],
                             seed=params["random_seed"] + jax.process_index(),
                             shard_index=jax.process_index(),
-                            num_shards=jax.process_count())
+                            num_shards=jax.process_count(),
+                            raw=params.get("device_input_prep", False))
 
     def rl(bs):
         return lambda: random_latents(bs, latent_size)

@@ -59,9 +59,11 @@ class DataIterator:
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  seed: int | None = None, prefetch: int = 4,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 raw: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.raw = raw  # yield uint8 raw batches; prep happens on device
         self.num_workers = max(1, num_workers)
         self._indices = self._make_index_space(shard_index, num_shards)
         self.sampler = _ShardedSampler(self._indices, seed)
@@ -88,7 +90,10 @@ class DataIterator:
             try:
                 raw = (self.dataset.raw_batch(idxs)
                        if hasattr(self.dataset, "raw_batch") else None)
-                if raw is not None:
+                if raw is not None and self.raw:
+                    # device-side prep mode: ship uint8 pixels as-is
+                    batch = raw
+                elif raw is not None:
                     # fused fade + dynamic-range remap (C++ when built,
                     # identical numpy fallback otherwise)
                     batch = native.prep_batch_f32(

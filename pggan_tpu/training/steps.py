@@ -147,6 +147,36 @@ class TrainStepBuilder:
         return (self.d_training_repeats, batch_size, res, res,
                 self.G.num_channels)
 
+    # -- device-side input prep --------------------------------------------
+    def prep_fn(self, range_in=(0, 255), range_out=(-1, 1)):
+        """jitted (u8_batch (R,B,H,W,C), alpha) -> f32 batch: cast + alpha
+        fade (2x2 box blend, reference dataset.py:109-113) + dynamic-range
+        remap, all on device.
+
+        Lets the host ship raw uint8 pixels — 4x less host->device traffic
+        than f32 — with XLA fusing the whole prep into one kernel. Exactly
+        the loader's host-side prep semantics (data/native.py)."""
+        key = ("prep", tuple(range_in), tuple(range_out))
+        if key not in self._sample_cache:
+            min_in, max_in = range_in
+            min_out, max_out = range_out
+            scale = (max_out - min_out) / (max_in - min_in)
+
+            @jax.jit
+            def prep(u8, alpha):
+                x = u8.astype(jnp.float32)
+                r, b, h, w, c = x.shape
+                t = x.reshape(r, b, h // 2, 2, w // 2, 2, c).mean(axis=(3, 5))
+                t = jnp.broadcast_to(t[:, :, :, None, :, None, :],
+                                     (r, b, h // 2, 2, w // 2, 2, c)
+                                     ).reshape(x.shape)
+                alpha = jnp.asarray(alpha, jnp.float32)
+                x = x * alpha + t * (1.0 - alpha)
+                return (x - min_in) * scale + min_out
+
+            self._sample_cache[key] = prep
+        return self._sample_cache[key]
+
     # -- sampling -----------------------------------------------------------
     def sample_fn(self, depth: int) -> Callable:
         """jitted (g_params, z, alpha) -> NHWC images at ``depth``."""

@@ -118,11 +118,22 @@ class Trainer:
 
     # -- hot loop (reference trainer.py:85-115, fused) ----------------------
     def train(self):
-        reals = [np.asarray(next(self.dataiter), dtype=np.float32)
-                 for _ in range(self.D_training_repeats)]
-        batch = reals[0].shape[0]
-        reals = np.stack(reals, axis=0)
+        raw = [np.asarray(next(self.dataiter))
+               for _ in range(self.D_training_repeats)]
+        batch = raw[0].shape[0]
+        reals = np.stack(raw, axis=0)
         self.cur_nimg += batch * self.D_training_repeats
+
+        if reals.dtype == np.uint8:
+            # raw pixels shipped to the device (4x smaller transfer);
+            # fade + dynamic-range prep runs on device, fused by XLA
+            ds = self.dataset
+            prep = self.builder.prep_fn(
+                ds.range_in if ds is not None else (0, 255),
+                ds.range_out if ds is not None else (-1, 1))
+            reals = prep(reals, np.float32(self.alpha))
+        elif reals.dtype != np.float32:
+            reals = reals.astype(np.float32)
 
         step = self.builder.step_fn(self.depth, batch)
         self.state, metrics = step(self.state, reals,

@@ -193,3 +193,31 @@ def test_data_iterator_error_propagation():
     it = DataIterator(ds, batch_size=2, num_workers=1)
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_dataset_pickle_roundtrip(tmp_path):
+    """--save_dataset / --load_dataset config cache (reference
+    train.py:91-98): datasets must pickle and keep serving items."""
+    import pickle
+    ds = SyntheticDataset(resolution=16, num_items=6)
+    ds.model_depth = 1
+    path = tmp_path / "ds.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(ds, f)
+    with open(path, "rb") as f:
+        ds2 = pickle.load(f)
+    np.testing.assert_allclose(ds2[0], ds[0])
+    assert ds2.shape == ds.shape
+
+
+def test_h5_dataset_pickles(tmp_path):
+    import h5py
+    import pickle
+    path = str(tmp_path / "t.h5")
+    with h5py.File(path, "w") as f:
+        for r in (4, 8):
+            f.create_dataset(f"data{r}x{r}",
+                             data=np.zeros((4, 1, r, r), dtype=np.uint8))
+    ds = H5Dataset(path)
+    ds2 = pickle.loads(pickle.dumps(ds))  # arrays are in RAM; no live handle
+    assert ds2.shape == (4, 1, 8, 8)

@@ -128,3 +128,42 @@ def test_sample_fn():
     z = np.random.RandomState(5).randn(3, 16).astype(np.float32)
     out = builder.sample_fn(2)(params, z, np.float32(0.5))
     assert out.shape == (3, 16, 16, 1)
+
+
+def test_device_prep_matches_host_prep():
+    """Device-side uint8 fade+remap must equal the host loader's prep."""
+    from pggan_tpu.data import native
+    g, d = tiny_models()
+    builder = TrainStepBuilder(g, d, make_optimizer())
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (1, 4, 8, 8, 1), dtype=np.uint8)
+    for alpha in (1.0, 0.5, 0.0):
+        dev = np.asarray(builder.prep_fn()(u8, np.float32(alpha)))
+        host = native.prep_batch_f32(u8[0], alpha)
+        np.testing.assert_allclose(dev[0], host, atol=1e-4)
+
+
+def test_trainer_accepts_uint8_batches(tmp_path):
+    """End-to-end: loader raw mode -> device prep -> fused step."""
+    import jax
+    from pggan_tpu.data import DataIterator, SyntheticDataset
+    from pggan_tpu.training.trainer import Trainer
+    from pggan_tpu.training.state import init_state
+
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=16)
+    ds.model_depth = 1
+    g, d = tiny_models()
+    opt = make_optimizer()
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    state = init_state(g.init(keys[0]), d.init(keys[1]), opt, keys[2])
+    builder = TrainStepBuilder(g, d, opt)
+    it = DataIterator(ds, 4, num_workers=1, seed=0, raw=True)
+    b = next(it)
+    assert b.dtype == np.uint8
+    trainer = Trainer(g, d, builder, state, ds, iter(it), lambda: None,
+                      tick_nimg_default=64)
+    trainer.depth = 1
+    trainer.lr_d = trainer.lr_g = 1e-3
+    trainer.run(total_kimg=0.1)
+    assert trainer.cur_nimg >= 100
+    it.close()
