@@ -77,10 +77,11 @@ def istft_np(S: np.ndarray, hop_length: int | None = None,
 
 def griffin_lim_np(mag: np.ndarray, n_iter: int = 100,
                    hop_length: int | None = None,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0, verbose: bool = False) -> np.ndarray:
     """Host Griffin-Lim, mirroring the reference loop
     (output_postprocess.py:92-105): start from noise, iterate
-    stft -> keep phase -> istft."""
+    stft -> keep phase -> istft. ``verbose`` prints the per-iteration
+    inter-iterate MSE like the reference (output_postprocess.py:99-104)."""
     n_fft = (mag.shape[0] - 1) * 2
     if hop_length is None:
         hop_length = n_fft // 4
@@ -93,7 +94,12 @@ def griffin_lim_np(mag: np.ndarray, n_iter: int = 100,
         pad = mag.shape[1] - S.shape[1]
         if pad > 0:
             phase = np.pad(phase, ((0, 0), (0, pad)), constant_values=1.0)
+        prev_x = x
         x = istft_np(mag * phase, hop_length)
+        if verbose:
+            n = min(len(x), len(prev_x))
+            mse = np.sqrt(np.square(x[:n] - prev_x[:n]).sum())
+            print(f"MSE between sub- and ultimate iteration: {mse}")
     return x
 
 

@@ -113,7 +113,7 @@ class SoundSaver(Postprocessor):
                                    self.hop_length)
         from pggan_tpu.ops.stft import griffin_lim_np
         return griffin_lim_np(stft_mag, self.griffin_lim_iter,
-                              self.hop_length)
+                              self.hop_length, verbose=self.verbose)
 
     def image_to_sound(self, image: np.ndarray) -> np.ndarray:
         if self.mode in ("reallog", "abslog"):

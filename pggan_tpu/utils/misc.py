@@ -50,6 +50,13 @@ def random_latents(num_latents: int, latent_size: int,
     return gen.randn(num_latents, latent_size).astype(np.float32)
 
 
+def generate_samples(model, params, gen_input, depth, alpha) -> np.ndarray:
+    """Run the generator and return NCHW numpy (the reference's
+    ``generate_samples`` contract, utils.py:8-11: forward -> cpu numpy)."""
+    out = model.apply(params, np.asarray(gen_input, np.float32), depth, alpha)
+    return np.asarray(out).transpose(0, 3, 1, 2)
+
+
 def save_pkl(fname, obj):
     with open(fname, "wb") as f:
         pickle.dump(obj, f)

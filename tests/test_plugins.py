@@ -1,0 +1,189 @@
+"""Plugin runtime unit tests: scheduler intervals, DepthManager stage
+mutation, saver keep-policy, logger rendering, exact resume."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pggan_tpu.data import DataIterator, SyntheticDataset
+from pggan_tpu.models import Discriminator, Generator
+from pggan_tpu.training import TrainStepBuilder, Trainer, make_optimizer
+from pggan_tpu.training.plugins import (
+    DepthManager,
+    EfficientLossMonitor,
+    LRScheduler,
+    Plugin,
+    SaverPlugin,
+    TeeLogger,
+)
+from pggan_tpu.training.state import init_state
+from pggan_tpu.utils.misc import random_latents
+
+
+class CountingPlugin(Plugin):
+    def __init__(self, interval, unit):
+        super().__init__([(interval, unit)])
+        self.calls = []
+
+    def iteration(self, t, *a):
+        self.calls.append(t)
+
+    def epoch(self, t, *a):
+        self.calls.append(t)
+
+
+def _bare_trainer():
+    g = Generator((8, 1, 8, 8), latent_size=8, fmap_base=32, fmap_max=16)
+    d = Discriminator((8, 1, 8, 8), fmap_base=32, fmap_max=16)
+    opt = make_optimizer()
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    state = init_state(g.init(keys[0]), d.init(keys[1]), opt, keys[2])
+    return Trainer(g, d, TrainStepBuilder(g, d, opt), state, None, None,
+                   lambda: random_latents(4, 8))
+
+
+def test_plugin_interval_respected():
+    tr = _bare_trainer()
+    every1 = CountingPlugin(1, "iteration")
+    every3 = CountingPlugin(3, "iteration")
+    tr.register_plugin(every1)
+    tr.register_plugin(every3)
+    import heapq
+    for q in tr.plugin_queues.values():
+        heapq.heapify(q)
+    for it in range(1, 10):
+        tr.call_plugins("iteration", it)
+    assert every1.calls == list(range(1, 10))
+    assert every3.calls == [3, 6, 9]
+
+
+def test_lr_scheduler_ramp():
+    tr = _bare_trainer()
+    sched = LRScheduler(lr_max_d=0.002, lr_max_g=0.001, rampup_kimg=1)
+    tr.register_plugin(sched)
+    assert tr.lr_d < 0.002  # ramping at nimg=0
+    tr.cur_nimg = 1000
+    sched.iteration()
+    assert tr.lr_d == pytest.approx(0.002)
+    assert tr.lr_g == pytest.approx(0.001)
+
+
+def test_depth_manager_stage_mutation():
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=8)
+    tr = _bare_trainer()
+    tr.dataset = ds
+    made = []
+
+    def make_iter(bs):
+        made.append(bs)
+        return DataIterator(ds, bs, num_workers=1, seed=0)
+
+    dm = DepthManager(make_iter, lambda bs: (lambda: random_latents(bs, 8)),
+                      max_depth=2, minibatch_default=8,
+                      minibatch_overrides={1: 4}, tick_kimg_default=1,
+                      tick_kimg_overrides={1: 2},
+                      lod_training_nimg=100, lod_transition_nimg=100)
+    tr.register_plugin(dm)
+    assert tr.depth == 0 and ds.model_depth == 0
+    assert made == [8]
+    assert tr.tick_duration_nimg == 1000
+    tr.cur_nimg = 150  # inside depth-1 fade
+    dm.iteration()
+    assert tr.depth == 1 and ds.model_depth == 1
+    assert made == [8, 4]  # minibatch override applied
+    assert tr.tick_duration_nimg == 2000
+    assert 0.0 < tr.alpha < 1.0 and ds.alpha == tr.alpha
+    tr.dataiter.close()
+
+
+def test_saver_keep_old(tmp_path):
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=8)
+    tr = _bare_trainer()
+    tr.dataset = ds
+    saver = SaverPlugin(str(tmp_path), keep_old_checkpoints=True,
+                        network_snapshot_ticks=1)
+    tr.register_plugin(saver)
+    saver.epoch(1)
+    tr.cur_nimg = 1000
+    saver.epoch(2)
+    assert len(glob.glob(str(tmp_path / "network-snapshot-generator-*.dat"))) == 2
+    # default policy removes older ones
+    saver2 = SaverPlugin(str(tmp_path), keep_old_checkpoints=False,
+                         network_snapshot_ticks=1)
+    tr.register_plugin(saver2)
+    tr.cur_nimg = 2000
+    saver2.epoch(3)
+    assert len(glob.glob(str(tmp_path / "network-snapshot-generator-*.dat"))) == 1
+
+
+def test_logger_renders_stats(tmp_path, capsys):
+    tr = _bare_trainer()
+    tr.stats["sec"] = {"log_format": ":.1f", "tick": 12.345, "kimg": 6.789}
+    tr.stats["G_loss"] = {"log_name": "G_loss",
+                          "log_epoch_fields": ["{epoch_mean:.4f}"],
+                          "epoch_mean": -1.23456}
+    logger = TeeLogger(str(tmp_path / "log.txt"),
+                       ["tick_stat", "kimg_stat", "sec.tick", "G_loss"])
+    tr.register_plugin(logger)
+    logger.epoch(1)
+    line = open(tmp_path / "log.txt").read().strip()
+    assert "tick" in line
+    assert "sec.tick 12.3" in line
+    assert "G_loss -1.2346" in line
+
+
+def test_exact_resume_bitwise(tmp_path):
+    """Full-state checkpoint + seeded single-worker loader => continuing a
+    run equals the uninterrupted run bit-for-bit (SURVEY.md §7 hard part e)."""
+    from pggan_tpu.checkpoint import load_training_state, save_training_state
+
+    def build(seed=3):
+        ds = SyntheticDataset(resolution=16, num_channels=1, num_items=8)
+        ds.model_depth = 1
+        g = Generator(ds.shape, latent_size=8, fmap_base=32, fmap_max=16)
+        d = Discriminator(ds.shape, fmap_base=32, fmap_max=16)
+        opt = make_optimizer()
+        keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+        state = init_state(g.init(keys[0]), d.init(keys[1]), opt, keys[2])
+        return ds, g, d, opt, state
+
+    def run_steps(trainer, n):
+        for _ in range(n):
+            trainer.train()
+
+    # uninterrupted: 6 steps
+    ds, g, d, opt, state = build()
+    it = DataIterator(ds, 4, num_workers=1, seed=9)
+    tr = Trainer(g, d, TrainStepBuilder(g, d, opt), state, ds, iter(it),
+                 lambda: random_latents(4, 8))
+    tr.depth, tr.lr_d, tr.lr_g = 1, 1e-3, 1e-3
+    run_steps(tr, 3)
+    ckpt = str(tmp_path / "mid.dat")
+    save_training_state(ckpt, tr.state, tr.cur_nimg, tr.iterations)
+    mid_batches = [next(tr.dataiter) for _ in range(3)]  # record the stream
+    for b in mid_batches:
+        tr.cur_nimg += b.shape[0]
+        step = tr.builder.step_fn(tr.depth, b.shape[0])
+        tr.state, _ = step(tr.state, np.stack([b]), np.float32(1.0),
+                           np.float32(1e-3), np.float32(1e-3))
+    final_a = jax.device_get(tr.state.g_params)
+    it.close()
+
+    # resumed: load at step 3, feed the same recorded batches
+    state_b, nimg, iters = load_training_state(ckpt)
+    ds2, g2, d2, opt2, _ = build()
+    tr2 = Trainer(g2, d2, TrainStepBuilder(g2, d2, opt2), state_b, ds2, None,
+                  lambda: random_latents(4, 8), resume_nimg=nimg,
+                  resume_iterations=iters)
+    tr2.depth, tr2.lr_d, tr2.lr_g = 1, 1e-3, 1e-3
+    for b in mid_batches:
+        step = tr2.builder.step_fn(tr2.depth, b.shape[0])
+        tr2.state, _ = step(tr2.state, np.stack([b]), np.float32(1.0),
+                            np.float32(1e-3), np.float32(1e-3))
+    final_b = jax.device_get(tr2.state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(final_a),
+                    jax.tree_util.tree_leaves(final_b)):
+        np.testing.assert_array_equal(a, b)
