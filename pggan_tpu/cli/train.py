@@ -248,9 +248,14 @@ def main(params):
 
     # -- input pipeline (reference train.py:140-145) ------------------------
     def get_dataiter(minibatch_size):
+        # minibatch_size is the GLOBAL batch; each host loads its shard
         if mesh is not None:
             check_batch_divisible(minibatch_size, mesh)
-        return DataIterator(dataset, minibatch_size,
+        nproc = jax.process_count()
+        if minibatch_size % nproc:
+            raise ValueError(f"global minibatch {minibatch_size} must divide "
+                             f"across {nproc} hosts")
+        return DataIterator(dataset, minibatch_size // nproc,
                             num_workers=params["num_data_workers"],
                             seed=params["random_seed"] + jax.process_index(),
                             shard_index=jax.process_index(),

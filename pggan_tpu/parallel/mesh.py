@@ -38,9 +38,14 @@ def initialize_distributed(coordinator_address: str | None = None,
     the NCCL/MPI init the reference never had). No-op when single-process
     with no coordinator configured."""
     import os
-    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ \
-            and num_processes is None:
-        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return  # single-process (or TPU-pod auto-detected) run
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -68,6 +73,25 @@ def shard_batch(array, mesh: Mesh, axis_name: str = "data",
     spec = [None] * array.ndim
     spec[batch_dim] = axis_name
     return jax.device_put(array, NamedSharding(mesh, P(*spec)))
+
+
+def make_global_batch(local_array, mesh: Mesh, axis_name: str = "data",
+                      batch_dim: int = 1):
+    """Assemble a global device array from this process's local batch shard
+    (multi-host data parallelism: each host loads ``global/process_count``
+    items; the global array spans all hosts' devices).
+
+    ``local_array`` is the host-local numpy shard, e.g. (repeats, local_B,
+    H, W, C); the returned global array has the batch dim multiplied by
+    ``jax.process_count()`` and sharded over ``axis_name``.
+    """
+    spec = [None] * local_array.ndim
+    spec[batch_dim] = axis_name
+    sharding = NamedSharding(mesh, P(*spec))
+    global_shape = list(local_array.shape)
+    global_shape[batch_dim] *= jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, local_array, tuple(global_shape))
 
 
 def check_batch_divisible(batch_size: int, mesh: Mesh,

@@ -118,12 +118,22 @@ class Trainer:
 
     # -- hot loop (reference trainer.py:85-115, fused) ----------------------
     def train(self):
+        import jax
         raw = [np.asarray(next(self.dataiter))
                for _ in range(self.D_training_repeats)]
-        batch = raw[0].shape[0]
+        local_batch = raw[0].shape[0]
         reals = np.stack(raw, axis=0)
+        # Multi-host: each host feeds its local shard; batch/nimg accounting
+        # is global (local * process_count).
+        multihost = (self.builder.mesh is not None
+                     and jax.process_count() > 1)
+        batch = local_batch * (jax.process_count() if multihost else 1)
         self.cur_nimg += batch * self.D_training_repeats
 
+        if multihost:
+            from pggan_tpu.parallel.mesh import make_global_batch
+            reals = make_global_batch(reals, self.builder.mesh,
+                                      self.builder.batch_axis, batch_dim=1)
         if reals.dtype == np.uint8:
             # raw pixels shipped to the device (4x smaller transfer);
             # fade + dynamic-range prep runs on device, fused by XLA
@@ -133,7 +143,8 @@ class Trainer:
                 ds.range_out if ds is not None else (-1, 1))
             reals = prep(reals, np.float32(self.alpha))
         elif reals.dtype != np.float32:
-            reals = reals.astype(np.float32)
+            reals = np.asarray(reals, np.float32) if isinstance(
+                reals, np.ndarray) else reals.astype(np.float32)
 
         step = self.builder.step_fn(self.depth, batch)
         self.state, metrics = step(self.state, reals,
