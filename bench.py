@@ -31,7 +31,8 @@ def time_step(builder, state, depth, batch, iters=50, warmup=3, rounds=3):
     through a shared tunnel, so single measurements can be contaminated by
     concurrent compiles — the minimum round is the honest steady-state."""
     import jax
-    step = builder.step_fn(depth, batch)
+    # stable-phase graph (alpha == 1): the dominant training regime
+    step = builder.step_fn(depth, batch, fade=False)
     reals = np.random.RandomState(0).randn(
         *builder.real_batch_shape(depth, batch)).astype(np.float32)
     alpha = np.float32(1.0)

@@ -122,10 +122,12 @@ class Discriminator:
         return h
 
     def apply(self, params: dict, x: jax.Array, depth: int,
-              alpha: jax.Array | float) -> jax.Array:
+              alpha: jax.Array | float, fade: bool = True) -> jax.Array:
         """Forward at static ``depth`` (reference network.py:225-240).
 
         x: NHWC at resolution ``4 * 2**depth``; returns (N, 1) scores.
+        ``fade=False`` statically drops the fromRGB blend path (the
+        reference only blends when alpha < 1, network.py:230-233).
         """
         if not (0 <= depth <= self.max_depth):
             raise ValueError(f"depth {depth} out of range [0, {self.max_depth}]")
@@ -135,8 +137,9 @@ class Discriminator:
         h = self._block(blocks[n - (depth + 1)], x, is_last=(depth == 0), first=True)
         if depth > 0:
             h = avg_pool_2x(h)
+        if depth > 0 and fade:
             # fade-in blend with the next block's fromRGB of the downsampled
-            # input (network.py:230-233); alpha traced, always blended.
+            # input (network.py:230-233); alpha traced within the fade graph.
             if self.fused_scale:
                 # exact fusion: pool precedes the 1x1 conv, so the mean
                 # commutes into the kernel (ops/primitives.py pool-in)

@@ -137,10 +137,16 @@ class Generator:
                           use_pixelnorm=False, act=None)
 
     def apply(self, params: dict, z: jax.Array, depth: int,
-              alpha: jax.Array | float) -> jax.Array:
+              alpha: jax.Array | float, fade: bool = True) -> jax.Array:
         """Forward pass at a static ``depth`` (reference network.py:118-139).
 
         z: (N, latent_size); returns NHWC images at ``4 * 2**depth``.
+
+        ``fade`` statically selects the graph variant: with ``fade=False``
+        the prev-stage toRGB and the blend are omitted entirely (the
+        reference's ``preult_rgb = 0`` stable-phase branch,
+        network.py:136-137) — at alpha==1 both variants are equal, but the
+        stable graph never pays the full-resolution blend path.
         """
         if not (0 <= depth <= self.max_depth):
             raise ValueError(f"depth {depth} out of range [0, {self.max_depth}]")
@@ -156,10 +162,11 @@ class Generator:
                 h = self._block_up(params["blocks"][i], h)
             ult = self._block_up(params["blocks"][depth - 1], h)
             ult = self._torgb(params["blocks"][depth - 1], ult)
-            # toRGB (1x1) commutes exactly with nearest upsample: apply at
-            # low res then upsample — same values, 1/4 the conv work
-            # (reference order: network.py:129-135).
-            prev_rgb = upsample_nearest_2x(self._torgb(prev_p, h))
+            if fade:
+                # toRGB (1x1) commutes exactly with nearest upsample: apply
+                # at low res then upsample — same values, 1/4 the conv work
+                # (reference order: network.py:129-135).
+                prev_rgb = upsample_nearest_2x(self._torgb(prev_p, h))
         else:
             for i in range(depth - 1):
                 h = upsample_nearest_2x(h)
@@ -167,9 +174,12 @@ class Generator:
             h = upsample_nearest_2x(h)
             ult = self._block(params["blocks"][depth - 1], h, first=False)
             ult = self._torgb(params["blocks"][depth - 1], ult)
-            prev_rgb = self._torgb(prev_p, h)
-        prev_rgb = prev_rgb.astype(jnp.float32)
+            if fade:
+                prev_rgb = self._torgb(prev_p, h)
         ult = ult.astype(jnp.float32)  # images and the blend stay f32
+        if not fade:
+            return ult
+        prev_rgb = prev_rgb.astype(jnp.float32)
         alpha = jnp.asarray(alpha, jnp.float32)
         return prev_rgb * (1.0 - alpha) + ult * alpha
 

@@ -68,7 +68,8 @@ class TrainStepBuilder:
         return replicated, batch
 
     # -- the step -----------------------------------------------------------
-    def _build_step(self, depth: int, batch_size: int) -> Callable:
+    def _build_step(self, depth: int, batch_size: int,
+                    fade: bool = True) -> Callable:
         G, D = self.G, self.D
         opt = self.optimizer
         latent_size = G.latent_size
@@ -79,10 +80,10 @@ class TrainStepBuilder:
         def step(state: TrainState, reals: jax.Array, alpha: jax.Array,
                  lr_d: jax.Array, lr_g: jax.Array):
             def d_apply(p, x):
-                return D.apply(p, x, depth, alpha)
+                return D.apply(p, x, depth, alpha, fade)
 
             def g_apply(p, z):
-                return G.apply(p, z, depth, alpha)
+                return G.apply(p, z, depth, alpha, fade)
 
             def d_loss_fn(d_params, real, z, key):
                 return wgan_gp_D_loss(d_apply, g_apply, d_params,
@@ -134,10 +135,15 @@ class TrainStepBuilder:
             )
         return jax.jit(step, donate_argnums=(0,))
 
-    def step_fn(self, depth: int, batch_size: int) -> Callable:
-        key = (depth, batch_size)
+    def step_fn(self, depth: int, batch_size: int,
+                fade: bool = True) -> Callable:
+        """Jitted step for (depth, batch, fade). ``fade=False`` compiles
+        the stable-phase graph with the blend paths statically removed (they
+        multiply by zero at alpha==1 but still cost full-resolution HBM
+        traffic — ~10% of the 1024px step in profiles)."""
+        key = (depth, batch_size, fade)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(depth, batch_size)
+            self._step_cache[key] = self._build_step(depth, batch_size, fade)
         return self._step_cache[key]
 
     def real_batch_shape(self, depth: int, batch_size: int) -> tuple:

@@ -146,7 +146,10 @@ class Trainer:
             reals = np.asarray(reals, np.float32) if isinstance(
                 reals, np.ndarray) else reals.astype(np.float32)
 
-        step = self.builder.step_fn(self.depth, batch)
+        # Stable phase (alpha == 1) uses the blend-free graph — the fade
+        # paths are statically removed instead of multiplying by zero.
+        step = self.builder.step_fn(self.depth, batch,
+                                    fade=self.alpha < 1.0)
         self.state, metrics = step(self.state, reals,
                                    np.float32(self.alpha),
                                    np.float32(self.lr_d),

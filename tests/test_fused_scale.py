@@ -84,3 +84,21 @@ def test_fused_gradients_match():
                     jax.tree_util.tree_leaves(gu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("depth", [0, 1, 3])
+def test_stable_graph_equals_fade_graph_at_alpha1(depth):
+    """fade=False must equal fade=True at alpha==1 for G and D (the
+    reference's preult_rgb=0 branch, network.py:136-137)."""
+    g = Generator(SHAPE, latent_size=16, fmap_base=128, fmap_max=64)
+    d = Discriminator(SHAPE, fmap_base=128, fmap_max=64)
+    gp, dp = g.init(jax.random.PRNGKey(0)), d.init(jax.random.PRNGKey(1))
+    z = jax.random.normal(jax.random.PRNGKey(2), (3, 16))
+    a = np.asarray(g.apply(gp, z, depth, 1.0, fade=True))
+    b = np.asarray(g.apply(gp, z, depth, 1.0, fade=False))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 4 * 2 ** depth,
+                                                  4 * 2 ** depth, 3))
+    sa = np.asarray(d.apply(dp, x, depth, 1.0, fade=True))
+    sb = np.asarray(d.apply(dp, x, depth, 1.0, fade=False))
+    np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-6)
