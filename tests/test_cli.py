@@ -188,3 +188,36 @@ def test_cli_resume(cli_run):
     resume_dir = glob.glob(os.path.join(results_root, "*-resume"))[0]
     log = open(os.path.join(resume_dir, "log.txt")).read()
     assert "Restored full training state" in log or "Resuming" in log
+
+
+def test_cli_non_progressive(tmp_path):
+    """--progressive_growing False trains a fixed-depth GAN (reference
+    README.md:48): no DepthManager, depth = dataset.model_initial_depth."""
+    from pggan_tpu.cli.train import cli_main
+    data_dir = str(tmp_path / "imgs")
+    results = str(tmp_path / "results")
+    _write_pngs(data_dir)
+    cli_main([
+        "--result_dir", results,
+        "--exp_name", "np",
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--DefaultImageFolderDataset.model_initial_depth", "2",
+        "--progressive_growing", "False",
+        "--num_data_workers", "1",
+        "--total_kimg", "0.15",
+        "--minibatch_size", "8",
+        "--Trainer.tick_nimg_default", "64",
+        "--postprocessors", "[]",
+        "--Generator.latent_size", "16",
+        "--Generator.fmap_base", "64",
+        "--Generator.fmap_max", "32",
+        "--Discriminator.fmap_base", "64",
+        "--Discriminator.fmap_max", "32",
+        "--data_parallel", "False",
+    ])
+    run_dir = glob.glob(os.path.join(results, "*-np"))[0]
+    log = open(os.path.join(run_dir, "log.txt")).read()
+    assert "tick" in log
+    assert "depth" not in log.splitlines()[-1]  # no progressive stats logged

@@ -187,3 +187,20 @@ def test_exact_resume_bitwise(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(final_a),
                     jax.tree_util.tree_leaves(final_b)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_trace_profiler_writes_trace(tmp_path):
+    from pggan_tpu.training.plugins import TraceProfiler
+    tr = _bare_trainer()
+    prof = TraceProfiler(str(tmp_path / "prof"), start_iteration=1,
+                         num_iterations=1)
+    tr.register_plugin(prof)
+    import heapq
+    for q in tr.plugin_queues.values():
+        heapq.heapify(q)
+    for it in range(1, 4):
+        tr.call_plugins("iteration", it)
+    assert prof._done
+    files = glob.glob(str(tmp_path / "prof" / "**" / "*.xplane.pb"),
+                      recursive=True)
+    assert files, "no xplane trace written"
