@@ -26,7 +26,7 @@ reference ``network.py``:
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

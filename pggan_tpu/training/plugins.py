@@ -64,8 +64,15 @@ class DepthManager(Plugin):
                  lod_training_nimg=100 * 1000,
                  lod_transition_nimg=100 * 1000,
                  max_lod=None,
-                 depth_offset=None):
+                 depth_offset=None,
+                 precompile_ahead=False):
         super().__init__([(1, "iteration")])
+        # Background AOT warmup of the upcoming stage's programs. Off by
+        # default: it overlaps compiles with training on hosts where XLA
+        # compiles locally (multi-threaded), but on serialized remote-compile
+        # setups the background compile DELAYS the foreground one (measured
+        # 4x slower first tick through the axon tunnel).
+        self.precompile_ahead = precompile_ahead
         self.create_dataiter_fun = create_dataiter_fun
         self.create_rlg = create_rlg
         self.max_depth = max_depth
@@ -96,6 +103,32 @@ class DepthManager(Plugin):
     def lod(self):
         return lod_value(self.depth, self.alpha, self.max_lod, self.depth_offset)
 
+    def _precompile_upcoming(self, depth, minibatch_size):
+        """Warm the compile cache in the background for the programs this
+        stage will need next: the current depth's stable graph (used when
+        alpha reaches 1) and the next depth's fade graph."""
+        import threading
+        trainer = self.trainer
+        builder = getattr(trainer, "builder", None)
+        if builder is None or not hasattr(builder, "precompile"):
+            return
+        targets = [(depth, minibatch_size, False)]
+        if depth < self.max_depth:
+            next_mb = self.minibatch_overrides.get(depth + 1,
+                                                   self.minibatch_default)
+            targets.append((depth + 1, next_mb, True))
+
+        def work(state):
+            for d, mb, fade in targets:
+                try:
+                    builder.precompile(d, mb, fade, state)
+                except Exception as e:  # best-effort warmup only
+                    print(f"[DepthManager] precompile({d},{mb},fade={fade}) "
+                          f"failed: {e}", flush=True)
+
+        threading.Thread(target=work, args=(trainer.state,), daemon=True,
+                         name=f"pggan-precompile-d{depth}").start()
+
     def iteration(self, *args):
         from pggan_tpu.training.schedule import depth_alpha_schedule
         trainer = self.trainer
@@ -120,6 +153,8 @@ class DepthManager(Plugin):
             tick_kimg = self.tick_kimg_overrides.get(depth, self.tick_kimg_default)
             trainer.tick_duration_nimg = tick_kimg * 1000
             trainer.stats["minibatch_size"] = minibatch_size
+            if self.precompile_ahead:
+                self._precompile_upcoming(depth, minibatch_size)
         if alpha != self.alpha:
             self.alpha = alpha
             trainer.alpha = alpha

@@ -22,8 +22,7 @@ mean automatically (SURVEY.md §2.8 items 1-2).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +72,6 @@ class TrainStepBuilder:
         G, D = self.G, self.D
         opt = self.optimizer
         latent_size = G.latent_size
-        n_rep = self.d_training_repeats
         lam, eps_drift, target = (self.iwass_lambda, self.iwass_epsilon,
                                   self.iwass_target)
 
@@ -145,6 +143,25 @@ class TrainStepBuilder:
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(depth, batch_size, fade)
         return self._step_cache[key]
+
+    def precompile(self, depth: int, batch_size: int, fade: bool,
+                   state) -> None:
+        """Warm the XLA compilation cache for a (depth, batch, fade) step
+        without running it (AOT lower+compile on abstract shapes).
+
+        Called from a background thread by DepthManager so the next growth
+        stage's programs are ready before the schedule reaches them — stage
+        transitions then stall on dispatch-cache population only, not on the
+        multi-minute XLA compile of the 1024px grad-of-grad program.
+        """
+        import numpy as _np
+        abstract_state = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(_np.shape(x), x.dtype), state)
+        reals = jax.ShapeDtypeStruct(
+            self.real_batch_shape(depth, batch_size), jnp.float32)
+        scalar = jax.ShapeDtypeStruct((), jnp.float32)
+        step = self.step_fn(depth, batch_size, fade)
+        step.lower(abstract_state, reals, scalar, scalar, scalar).compile()
 
     def real_batch_shape(self, depth: int, batch_size: int) -> tuple:
         """Expected NHWC shape of the stacked real input:

@@ -204,3 +204,44 @@ def test_trace_profiler_writes_trace(tmp_path):
     files = glob.glob(str(tmp_path / "prof" / "**" / "*.xplane.pb"),
                       recursive=True)
     assert files, "no xplane trace written"
+
+
+def test_precompile_warms_cache():
+    """builder.precompile must AOT-compile a step without executing it, and
+    the subsequent real call must produce correct output."""
+    import time
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=8)
+    g = Generator(ds.shape, latent_size=8, fmap_base=32, fmap_max=16)
+    d = Discriminator(ds.shape, fmap_base=32, fmap_max=16)
+    opt = make_optimizer()
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    state = init_state(g.init(keys[0]), d.init(keys[1]), opt, keys[2])
+    builder = TrainStepBuilder(g, d, opt)
+    builder.precompile(1, 4, True, state)
+    step = builder.step_fn(1, 4, True)
+    reals = np.random.RandomState(0).randn(1, 4, 8, 8, 1).astype(np.float32)
+    state, metrics = step(state, reals, np.float32(0.5),
+                          np.float32(1e-3), np.float32(1e-3))
+    assert np.isfinite(float(metrics["D_loss"]))
+
+
+def test_depth_manager_precompile_thread():
+    """The background precompile thread must run without raising."""
+    import threading
+    ds = SyntheticDataset(resolution=16, num_channels=1, num_items=8)
+    tr = _bare_trainer()
+    tr.dataset = ds
+    dm = DepthManager(lambda bs: DataIterator(ds, bs, num_workers=1, seed=0),
+                      lambda bs: (lambda: random_latents(bs, 8)),
+                      max_depth=1, minibatch_default=4,
+                      minibatch_overrides={}, tick_kimg_default=1,
+                      tick_kimg_overrides={}, lod_training_nimg=100,
+                      lod_transition_nimg=100, precompile_ahead=True)
+    tr.register_plugin(dm)
+    for t in threading.enumerate():
+        if t.name.startswith("pggan-precompile"):
+            t.join(timeout=300)
+    # cache must now hold depth-0 stable and depth-1 fade programs
+    assert (0, 4, False) in tr.builder._step_cache
+    assert (1, 4, True) in tr.builder._step_cache
+    tr.dataiter.close()
