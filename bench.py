@@ -26,28 +26,32 @@ import numpy as np
 REFERENCE_ANCHOR_KIMG_PER_HOUR = 900.0  # see BASELINE.md "anchor" row
 
 
-def time_step(builder, state, depth, batch, iters=50, warmup=3, rounds=3):
-    """Best-of-N-rounds average step time: the attached chip is reached
-    through a shared tunnel, so single measurements can be contaminated by
-    concurrent compiles — the minimum round is the honest steady-state."""
+def time_step(builder, state, depth, batch, iters=40, warmup=3, rounds=3):
+    """Steady-state step time. The attached runtime pipelines dispatches
+    deeply, so the FIRST timing round mostly measures dispatch while real
+    execution lags behind; it is discarded (pipeline absorption) and the
+    mean of the remaining rounds is reported. See BASELINE.md "measurement
+    caveats"."""
     import jax
     # stable-phase graph (alpha == 1): the dominant training regime
     step = builder.step_fn(depth, batch, fade=False)
     reals = np.random.RandomState(0).randn(
         *builder.real_batch_shape(depth, batch)).astype(np.float32)
     alpha = np.float32(1.0)
-    lr = np.float32(1e-3)
+    lr = np.float32(1e-4)
     for _ in range(warmup):
         state, metrics = step(state, reals, alpha, lr, lr)
-    jax.block_until_ready(state.g_params)
-    best = float("inf")
-    for _ in range(rounds):
+    float(metrics["D_loss"])  # data fetch: the only reliable sync here —
+    # block_until_ready returns before remote execution completes
+    times = []
+    for rnd in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, reals, alpha, lr, lr)
-        jax.block_until_ready(state.g_params)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, state
+        float(metrics["D_loss"])  # forces the whole chained round to finish
+        if rnd > 0:
+            times.append((time.perf_counter() - t0) / iters)
+    return float(np.mean(times)), state
 
 
 def main():
