@@ -78,13 +78,15 @@ def main():
           f"({kimg_per_hour:.1f} kimg/h/chip)", file=sys.stderr)
 
     # secondary: 1024x1024 stage (depth 8), reference minibatch 3
-    try:
-        dt1024, state = time_step(builder, state, depth=8, batch=3,
-                                  iters=15, warmup=2)
-        print(f"step@1024px: {dt1024 * 1000:.2f} ms  "
-              f"({3.0 / dt1024 * 3.6:.2f} kimg/h/chip)", file=sys.stderr)
-    except Exception as e:  # memory-bound on small chips; not the headline
-        print(f"1024px step skipped: {e}", file=sys.stderr)
+    for attempt in range(2):  # the remote-compile tunnel has transient drops
+        try:
+            dt1024, state = time_step(builder, state, depth=8, batch=3,
+                                      iters=15, warmup=2)
+            print(f"step@1024px: {dt1024 * 1000:.2f} ms  "
+                  f"({3.0 / dt1024 * 3.6:.2f} kimg/h/chip)", file=sys.stderr)
+            break
+        except Exception as e:  # not the headline metric; report and move on
+            print(f"1024px step attempt {attempt}: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "kimg_per_hour_chip_128px",
