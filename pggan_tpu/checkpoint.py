@@ -25,6 +25,16 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+def _atomic_dump(payload, path: str) -> None:
+    """Write-then-rename so a crash mid-pickle never leaves a truncated
+    checkpoint at the final name."""
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def model_config(model) -> dict:
     """Constructor kwargs for rebuilding a Generator/Discriminator."""
     cfg = {}
@@ -49,8 +59,7 @@ def save_snapshot(path: str, model, params, depth: int, alpha: float) -> None:
         "depth": int(depth),
         "alpha": float(alpha),
     }
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    _atomic_dump(payload, path)
 
 
 def load_snapshot(path: str):
@@ -75,8 +84,7 @@ def save_training_state(path: str, state, cur_nimg: int, iterations: int,
         "iterations": int(iterations),
         "base_time": float(base_time),
     }
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    _atomic_dump(payload, path)
 
 
 def load_training_state(path: str):

@@ -21,12 +21,12 @@ import threading
 import numpy as np
 
 
-class InfiniteRandomSampler:
-    """Yields uniformly random indices forever, reshuffling each pass
-    (reference train.py:51-57)."""
+class _ShardedSampler:
+    """Thread-safe infinite random sampler over an explicit index array
+    (per-host file shards), reshuffling each pass."""
 
-    def __init__(self, length: int, seed: int | None = None):
-        self.length = length
+    def __init__(self, indices: np.ndarray, seed: int | None):
+        self.indices = np.asarray(indices)
         self.rng = np.random.RandomState(seed)
         self._perm = []
         self._pos = 0
@@ -36,16 +36,27 @@ class InfiniteRandomSampler:
         return self
 
     def __next__(self) -> int:
-        with self._lock:
-            if self._pos >= len(self._perm):
-                self._perm = self.rng.permutation(self.length)
-                self._pos = 0
-            idx = int(self._perm[self._pos])
-            self._pos += 1
-            return idx
+        return self.take_batch(1)[0]
 
     def take_batch(self, n: int) -> list[int]:
-        return [next(self) for _ in range(n)]
+        out = []
+        with self._lock:
+            while len(out) < n:
+                if self._pos >= len(self._perm):
+                    self._perm = self.rng.permutation(self.indices)
+                    self._pos = 0
+                out.append(int(self._perm[self._pos]))
+                self._pos += 1
+        return out
+
+
+class InfiniteRandomSampler(_ShardedSampler):
+    """Yields uniformly random indices in [0, length) forever, reshuffling
+    each pass (reference train.py:51-57)."""
+
+    def __init__(self, length: int, seed: int | None = None):
+        super().__init__(np.arange(length), seed)
+        self.length = length
 
 
 class DataIterator:
@@ -139,24 +150,3 @@ class DataIterator:
         self._stop.set()
 
 
-class _ShardedSampler:
-    """Infinite random sampler over an explicit index array (for per-host
-    file shards)."""
-
-    def __init__(self, indices: np.ndarray, seed: int | None):
-        self.indices = indices
-        self.rng = np.random.RandomState(seed)
-        self._perm = []
-        self._pos = 0
-        self._lock = threading.Lock()
-
-    def take_batch(self, n: int) -> list[int]:
-        out = []
-        with self._lock:
-            while len(out) < n:
-                if self._pos >= len(self._perm):
-                    self._perm = self.rng.permutation(self.indices)
-                    self._pos = 0
-                out.append(int(self._perm[self._pos]))
-                self._pos += 1
-        return out

@@ -6,9 +6,10 @@ elementwise+cross-channel chain that follows every equalized conv
 custom VJP (also a Pallas kernel).
 
 Status and honest rationale: XLA already fuses this chain into the conv
-consumer in most graphs, so the kernel is OFF by default
-(``use_pallas_epilogue``); ``scripts/bench_pallas.py`` A/Bs it against the
-XLA path on real hardware. It exists to (a) pin the fusion behaviour rather
+consumer in most graphs (measured equal on hardware), so the kernel is NOT
+wired into the model path yet — it is exercised by its tests and by
+``scripts/bench_pallas.py``, which A/Bs it against the XLA path on real
+hardware. It exists to (a) pin the fusion behaviour rather
 than trusting the compiler across versions, and (b) serve as the template for
 the deeper Pallas work (small-channel spatial-lane convolutions for the
 1024px tail) where XLA's conv emitter leaves bandwidth on the table.

@@ -114,12 +114,16 @@ def conv_init(key: jax.Array, ksize: int, ch_in: int, ch_out: int,
     """
     shape = (ksize, ksize, ch_in, ch_out)
     fan_in = ksize * ksize * ch_in
+    bound = 1.0 / math.sqrt(fan_in)
+    kw, kb = jax.random.split(key)
     if wscale:
-        w = jax.random.normal(key, shape, dtype)
+        w = jax.random.normal(kw, shape, dtype)
     else:
-        bound = 1.0 / math.sqrt(fan_in)
-        w = jax.random.uniform(key, shape, dtype, -bound, bound)
-    b = jnp.zeros((ch_out,), dtype)
+        w = jax.random.uniform(kw, shape, dtype, -bound, bound)
+    # torch Conv2d keeps its default uniform(+-1/sqrt(fan_in)) bias even when
+    # kaiming_normal overwrites the weight (reference network.py:16-17) —
+    # replicate for init-distribution parity.
+    b = jax.random.uniform(kb, (ch_out,), dtype, -bound, bound)
     return {"w": w, "b": b}
 
 
@@ -170,18 +174,8 @@ def equalized_conv2d(params: dict, x: jax.Array, *, padding: int = 1,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=(jnp.float32 if compute_dtype is None else None),
     )
-    y = y.astype(jnp.float32) + params["b"]
-    if act == "lrelu":
-        y = leaky_relu(y, 0.2)
-    elif act == "relu":
-        y = jnp.maximum(y, 0.0)
-    elif act is not None:
-        raise ValueError(f"unknown act: {act!r}")
-    if use_pixelnorm:
-        y = pixelnorm(y, eps)
-    if compute_dtype is not None:
-        y = y.astype(compute_dtype)
-    return y
+    return _conv_epilogue(y, params["b"], act, use_pixelnorm, eps,
+                          compute_dtype)
 
 
 def equalized_dense(params: dict, x: jax.Array) -> jax.Array:

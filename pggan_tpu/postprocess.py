@@ -66,7 +66,12 @@ class ImageSaver(Postprocessor):
         return PIL.Image.fromarray(image, fmt)
 
     def __call__(self, output: np.ndarray, description):
-        if self.resolution is not None:
+        # Upsample small outputs to the display resolution; once generated
+        # images reach (or exceed) it, save at native size — the reference
+        # crashed here past its 512px target (output_postprocess.py:64-65,
+        # utils.py:41), which would kill a 1024px run at its final stage.
+        if self.resolution is not None and self.resolution > output.shape[-1] \
+                and self.resolution % output.shape[-1] == 0:
             output = numpy_upsample_nearest(output, 2, size=self.resolution)
         im = self.convert_to_pil_image(self.create_image_grid(output))
         fname = self.output_file_format

@@ -27,6 +27,7 @@ from glob import glob
 
 import numpy as np
 
+from pggan_tpu.training import schedule
 from pggan_tpu.training.schedule import lod_value, lr_rampup
 
 
@@ -57,12 +58,12 @@ class DepthManager(Plugin):
                  create_dataiter_fun=None,
                  create_rlg=None,
                  max_depth=None,
-                 minibatch_default=16,
-                 minibatch_overrides={6: 14, 7: 6, 8: 3},
-                 tick_kimg_default=20,
-                 tick_kimg_overrides={3: 10, 4: 10, 5: 5, 6: 2, 7: 2, 8: 1},
-                 lod_training_nimg=100 * 1000,
-                 lod_transition_nimg=100 * 1000,
+                 minibatch_default=schedule.MINIBATCH_DEFAULT,
+                 minibatch_overrides=schedule.MINIBATCH_OVERRIDES,
+                 tick_kimg_default=schedule.TICK_KIMG_DEFAULT,
+                 tick_kimg_overrides=schedule.TICK_KIMG_OVERRIDES,
+                 lod_training_nimg=schedule.LOD_TRAINING_NIMG,
+                 lod_transition_nimg=schedule.LOD_TRANSITION_NIMG,
                  max_lod=None,
                  depth_offset=None,
                  precompile_ahead=False):
@@ -89,6 +90,13 @@ class DepthManager(Plugin):
 
     def register(self, trainer):
         self.trainer = trainer
+        if self.lod_transition_nimg > self.lod_training_nimg:
+            # the nimg->(depth, alpha) divmod law (inherited from the
+            # reference, plugins.py:57-63) mis-schedules in this regime:
+            # depth can skip stages and alpha restarts at wrong offsets
+            print("[DepthManager] WARNING: lod_transition_nimg > "
+                  "lod_training_nimg is not supported by the schedule "
+                  "arithmetic; stages will be skipped", flush=True)
         trainer.stats["minibatch_size"] = self.minibatch_default
         trainer.stats["alpha"] = {"log_name": "alpha",
                                   "log_epoch_fields": ["{val:.2f}"],
@@ -140,6 +148,11 @@ class DepthManager(Plugin):
             trainer.depth = depth
             if trainer.dataset is not None:
                 trainer.dataset.model_depth = depth
+                # apply the new alpha BEFORE spawning the stage's prefetch
+                # workers — otherwise their first batches are built with the
+                # previous stage's alpha (a smaller version of the reference's
+                # frozen-fork-alpha defect, see datasets.py)
+                trainer.dataset.alpha = alpha
             minibatch_size = self.minibatch_overrides.get(
                 depth, self.minibatch_default)
             trainer.minibatch_size = minibatch_size
@@ -272,30 +285,37 @@ class SaverPlugin(Plugin):
 
     def epoch(self, epoch_index):
         from pggan_tpu.checkpoint import save_snapshot, save_training_state
-        if not self.keep_old_checkpoints:
-            self._clear(self.last_pattern.format("*", "*"))
-            self._clear(self.state_pattern.format("*"))
         kimg = "{:06}".format(self.trainer.cur_nimg // 1000)
         trainer = self.trainer
-        save_snapshot(
-            os.path.join(self.checkpoints_path,
-                         self.last_pattern.format("generator", kimg)),
-            trainer.G, trainer.state.g_params, trainer.depth, trainer.alpha)
-        save_snapshot(
-            os.path.join(self.checkpoints_path,
-                         self.last_pattern.format("discriminator", kimg)),
-            trainer.D, trainer.state.d_params, trainer.depth, trainer.alpha)
+        # Write the new snapshots FIRST, then delete older ones: a crash
+        # mid-save must never leave the directory without a valid resume
+        # point. (Both writes are atomic: temp file + rename, checkpoint.py.)
+        written = []
+        for name, model, params in (
+                ("generator", trainer.G, trainer.state.g_params),
+                ("discriminator", trainer.D, trainer.state.d_params)):
+            path = os.path.join(self.checkpoints_path,
+                                self.last_pattern.format(name, kimg))
+            save_snapshot(path, model, params, trainer.depth, trainer.alpha)
+            written.append(path)
+        state_path = os.path.join(self.checkpoints_path,
+                                  self.state_pattern.format(kimg))
         save_training_state(
-            os.path.join(self.checkpoints_path, self.state_pattern.format(kimg)),
-            trainer.state, trainer.cur_nimg, trainer.iterations,
+            state_path, trainer.state, trainer.cur_nimg, trainer.iterations,
             float(trainer.stats.get("sec", {}).get("tick", 0.0)))
+        written.append(state_path)
+        if not self.keep_old_checkpoints:
+            self._clear(self.last_pattern.format("*", "*"), keep=written)
+            self._clear(self.state_pattern.format("*"), keep=written)
 
     def end(self, *args):
         self.epoch(*args)
 
-    def _clear(self, pattern):
+    def _clear(self, pattern, keep=()):
+        keep = {os.path.abspath(p) for p in keep}
         for file_name in glob(os.path.join(self.checkpoints_path, pattern)):
-            os.remove(file_name)
+            if os.path.abspath(file_name) not in keep:
+                os.remove(file_name)
 
 
 class OutputGenerator(Plugin):
@@ -318,7 +338,14 @@ class OutputGenerator(Plugin):
         out = apply_fn(trainer.state.g_params, z, trainer.alpha)
         out_nchw = np.asarray(out).transpose(0, 3, 1, 2)  # NHWC -> NCHW
         for proc in self.output_postprocessors:
-            proc(out_nchw, trainer.cur_nimg // 1000)
+            try:
+                proc(out_nchw, trainer.cur_nimg // 1000)
+            except Exception:
+                # a broken exporter must not kill a multi-day run
+                import traceback
+                print(f"[OutputGenerator] postprocessor {proc} failed:",
+                      flush=True)
+                traceback.print_exc()
 
     def end(self, *args):
         self.epoch(*args)

@@ -209,7 +209,3 @@ class TrainStepBuilder:
                 lambda p, z, a: G.apply(p, z, depth, a))
         return self._sample_cache[depth]
 
-
-def stack_reals(batches) -> np.ndarray:
-    """Stack ``d_training_repeats`` NHWC host batches into the step input."""
-    return np.stack(batches, axis=0)

@@ -95,4 +95,8 @@ def test_conv_init_unit_variance_with_wscale():
     key = jax.random.PRNGKey(42)
     p = conv_init(key, 3, 128, 128, wscale=True)
     assert np.asarray(p["w"]).std() == pytest.approx(1.0, abs=0.01)
-    assert np.all(np.asarray(p["b"]) == 0)
+    # bias keeps torch Conv2d's default uniform(+-1/sqrt(fan_in)) init
+    # (reference network.py:16-17 only re-inits the weight)
+    bound = 1.0 / np.sqrt(9 * 128)
+    b = np.asarray(p["b"])
+    assert np.all(np.abs(b) <= bound) and b.std() > 0
