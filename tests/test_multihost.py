@@ -63,7 +63,10 @@ print(f"RESULT pid={pid} nimg={trainer.cur_nimg} checksum={checksum:.8f}",
 def test_two_process_dp_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = str(12400 + os.getpid() % 1000)
+    import socket
+    with socket.socket() as s:  # reserve a free port for the coordinator
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_PLATFORMS", None)
