@@ -22,5 +22,15 @@ __version__ = "0.1.0"
 
 from pggan_tpu.models.generator import Generator
 from pggan_tpu.models.discriminator import Discriminator
+from pggan_tpu.losses import wgan_gp_D_loss, wgan_gp_G_loss
+from pggan_tpu.checkpoint import load_snapshot, save_snapshot
 
-__all__ = ["Generator", "Discriminator", "__version__"]
+__all__ = [
+    "Generator",
+    "Discriminator",
+    "wgan_gp_D_loss",
+    "wgan_gp_G_loss",
+    "load_snapshot",
+    "save_snapshot",
+    "__version__",
+]

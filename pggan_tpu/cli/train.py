@@ -158,7 +158,13 @@ def main(params):
     if params["load_dataset"]:
         dataset = load_pkl(params["load_dataset"])
     elif params["dataset_class"]:
-        cls = getattr(dataset_module, params["dataset_class"])
+        cls = getattr(dataset_module, params["dataset_class"], None)
+        if cls is None:
+            from pggan_tpu.utils.config import get_all_classes
+            names = sorted(c.__name__ for c in get_all_classes(dataset_module))
+            raise SystemExit(
+                f"Unknown dataset_class {params['dataset_class']!r}; "
+                f"available: {', '.join(names)}")
         dataset = cls(**params.get(params["dataset_class"], {}))
         if params["save_dataset"]:
             save_pkl(params["save_dataset"], dataset)
@@ -300,11 +306,17 @@ def main(params):
         return {k: (os.path.join(result_dir, v) if k == "samples_path" else v)
                 for k, v in d.items()}
 
-    postprocessors = [
-        getattr(postprocess_module, x)(
-            **substitute_samples_path(params.get(x, {})))
-        for x in params["postprocessors"]
-    ]
+    postprocessors = []
+    for x in params["postprocessors"]:
+        proc_cls = getattr(postprocess_module, x, None)
+        if proc_cls is None:
+            from pggan_tpu.utils.config import get_all_classes
+            names = sorted(c.__name__
+                           for c in get_all_classes(postprocess_module))
+            raise SystemExit(f"Unknown postprocessor {x!r}; "
+                             f"available: {', '.join(names)}")
+        postprocessors.append(
+            proc_cls(**substitute_samples_path(params.get(x, {}))))
     trainer.register_plugin(OutputGenerator(
         lambda n: random_latents(n, latent_size), postprocessors,
         **params.get("OutputGenerator", {})))
