@@ -72,7 +72,15 @@ def main():
     builder = TrainStepBuilder(G, D, opt)
 
     # primary: 128x128 stage (depth 5), reference minibatch 16
-    dt128, state = time_step(builder, state, depth=5, batch=16)
+    dt128 = None
+    for attempt in range(2):  # the remote-compile tunnel has transient drops
+        try:
+            dt128, state = time_step(builder, state, depth=5, batch=16)
+            break
+        except Exception as e:
+            print(f"128px step attempt {attempt}: {e}", file=sys.stderr)
+            if attempt == 1:
+                raise
     kimg_per_hour = 16.0 / dt128 * 3600.0 / 1000.0
     print(f"step@128px: {dt128 * 1000:.2f} ms  "
           f"({kimg_per_hour:.1f} kimg/h/chip)", file=sys.stderr)

@@ -221,3 +221,29 @@ def test_h5_dataset_pickles(tmp_path):
     ds = H5Dataset(path)
     ds2 = pickle.loads(pickle.dumps(ds))  # arrays are in RAM; no live handle
     assert ds2.shape == (4, 1, 8, 8)
+
+
+def test_folder_dataset_create_unused_depths(tmp_path):
+    """preload + create_unused_depths materializes levels below the model
+    offset too (reference dataset.py:139)."""
+    _write_pngs(str(tmp_path), n=2, size=16)
+    ds = DefaultImageFolderDataset(str(tmp_path), preload=True,
+                                   create_unused_depths=True,
+                                   imread_mode="L")
+    assert ds.data[0] is not None and ds.data[0].shape == (2, 1, 1, 1)
+    ds2 = DefaultImageFolderDataset(str(tmp_path), preload=True,
+                                    imread_mode="L")
+    assert ds2.data[0] is None  # only offset..max levels materialized
+    assert ds2.data[2] is not None
+
+
+def test_h5_dataset_max_images(tmp_path):
+    import h5py
+    path = str(tmp_path / "m.h5")
+    with h5py.File(path, "w") as f:
+        for r in (4, 8):
+            f.create_dataset(f"data{r}x{r}",
+                             data=np.zeros((10, 1, r, r), dtype=np.uint8))
+    ds = H5Dataset(path, max_images=4)
+    assert len(ds) == 4
+    assert ds.shape == (4, 1, 8, 8)

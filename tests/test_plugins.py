@@ -245,3 +245,32 @@ def test_depth_manager_precompile_thread():
     assert (0, 4, False) in tr.builder._step_cache
     assert (1, 4, True) in tr.builder._step_cache
     tr.dataiter.close()
+
+
+def test_metrics_exporter_comet_ducktype(tmp_path):
+    from pggan_tpu.training.plugins import MetricsExporter
+
+    class FakeExperiment:
+        def __init__(self):
+            self.metrics = {}
+            self.epochs = []
+
+        def log_metric(self, k, v):
+            self.metrics[k] = v
+
+        def log_epoch_end(self, idx):
+            self.epochs.append(idx)
+
+    tr = _bare_trainer()
+    tr.stats["G_loss"] = {"epoch_mean": 1.5}
+    exp = FakeExperiment()
+    me = MetricsExporter(["G_loss.epoch_mean", "kimg_stat"],
+                         jsonl_path=str(tmp_path / "m.jsonl"),
+                         experiment=exp)
+    tr.register_plugin(me)
+    me.epoch(3)
+    assert exp.metrics["G_loss.epoch_mean"] == 1.5
+    assert exp.epochs == [3]
+    import json
+    row = json.loads(open(tmp_path / "m.jsonl").read())
+    assert row["tick"] == 3
