@@ -45,3 +45,25 @@ def test_edge_zero_padding_semantics():
     np.testing.assert_allclose(got, want, rtol=1e-6)
     assert got[0, 0] == pytest.approx(8.0)  # corner: 4 taps x 2 channels
     assert got[4, 64] == pytest.approx(18.0)  # interior: 9 taps x 2 channels
+
+
+def test_custom_vjp_matches_lax(monkeypatch):
+    import pggan_tpu.ops.pallas_conv as pc
+    orig = pc.conv3x3_small_c
+    monkeypatch.setattr(pc, "conv3x3_small_c",
+                        lambda x, w: orig(x, w, interpret=True))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 4, 16, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+
+    def loss_p(x, w):
+        return jnp.sum(jnp.sin(pc.conv3x3(x, w)))
+
+    def loss_r(x, w):
+        return jnp.sum(jnp.sin(pc._lax_conv(x, w)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, w)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
