@@ -44,7 +44,12 @@ class Discriminator:
     leakyrelu: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
     fused_scale: bool = True  # fuse the fade path's pool into fromRGB (exact)
+    pallas_tail: bool = False  # spatial-lanes Pallas convs for the entry block
     dtype: object = field(default=jnp.float32, repr=False)
+
+    # minimum entry resolution for the Pallas path (plain class attribute so
+    # it stays out of the constructor/CLI surface; tests lower it)
+    _pallas_min_res = 256
 
     def __post_init__(self):
         self._compute = (jnp.bfloat16
@@ -109,6 +114,67 @@ class Discriminator:
         # keeps its default (lrelu/relu) — reference network.py:145,160.
         return self._conv(p["fromrgb"], x, pad=0, use_pixelnorm=False)
 
+    # -- spatial-lanes (NCHW/Pallas) entry path ------------------------------
+    def _use_pallas_entry(self, depth: int) -> bool:
+        """The entry block at high resolutions has tiny channel counts that
+        waste NHWC lanes; route it through the NCHW spatial-lanes Pallas conv
+        (ops/pallas_conv.py — measured 1.75x over the XLA chain at 1024px).
+        f32 only; W must be lane-aligned."""
+        if not self.pallas_tail or self._compute is not None or depth == 0:
+            return False
+        res = self.resolution_at(depth)
+        ch_in = self.nf(depth + 1)  # entry block is DBlock(nf(d+1), nf(d))
+        ch_out = self.nf(depth)
+        return (res >= self._pallas_min_res and res % 128 == 0
+                and ch_in <= 64 and ch_out <= 64)
+
+    def _entry_block_nchw(self, p, x_nhwc):
+        """Entry block + pool (+ fade blend) computed in NCHW with Pallas
+        3x3 convs; returns NHWC features at half resolution. Exactly the
+        reference entry semantics (network.py:227-233)."""
+        # conv3x3_ho: Pallas forward, lax derivatives — required because the
+        # D sits under the WGAN-GP double backward (grad-of-grad)
+        from pggan_tpu.ops.pallas_conv import conv3x3_ho as conv3x3
+        from pggan_tpu.ops.primitives import he_constant, leaky_relu
+
+        def act(v):
+            return leaky_relu(v, 0.2) if self.act == "lrelu" else \
+                jnp.maximum(v, 0.0)
+
+        def conv1x1(v, pp):
+            w = pp["w"][0, 0]
+            if self.wscale:
+                w = w * he_constant(w.shape[0])
+            y = jnp.einsum("nchw,ck->nkhw", v, w,
+                           preferred_element_type=jnp.float32)
+            return act(y + pp["b"][None, :, None, None])
+
+        def conv3(v, pp):
+            w = pp["w"]
+            if self.wscale:
+                w = w * he_constant(9 * w.shape[2])
+            y = conv3x3(v, w)
+            y = act(y + pp["b"][None, :, None, None])
+            if self.pixelnorm:
+                y = y * jax.lax.rsqrt(
+                    jnp.mean(y * y, axis=1, keepdims=True) + self.eps)
+            return y
+
+        def pool(v):
+            return jax.lax.reduce_window(
+                v, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
+                "VALID") * 0.25
+
+        x = x_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)  # -> NCHW
+        h = conv1x1(x, p["fromrgb"])
+        if self.pixelnorm:
+            h = h * jax.lax.rsqrt(
+                jnp.mean(h * h, axis=1, keepdims=True) + self.eps)
+        h = conv3(h, p["c1"])
+        h = conv3(h, p["c2"])
+        h = pool(h)
+        return h.transpose(0, 2, 3, 1)  # back to NHWC at half resolution
+
     def _block(self, p, h, is_last: bool, first: bool):
         if first:
             h = self._fromrgb(p, h)
@@ -134,9 +200,14 @@ class Discriminator:
         blocks = params["blocks"]
         n = len(blocks)
         x = x.astype(self.dtype)
-        h = self._block(blocks[n - (depth + 1)], x, is_last=(depth == 0), first=True)
-        if depth > 0:
-            h = avg_pool_2x(h)
+        if self._use_pallas_entry(depth):
+            # NCHW spatial-lanes path: entry block + pool in one go
+            h = self._entry_block_nchw(blocks[n - (depth + 1)], x)
+        else:
+            h = self._block(blocks[n - (depth + 1)], x,
+                            is_last=(depth == 0), first=True)
+            if depth > 0:
+                h = avg_pool_2x(h)
         if depth > 0 and fade:
             # fade-in blend with the next block's fromRGB of the downsampled
             # input (network.py:230-233); alpha traced within the fade graph.

@@ -24,12 +24,18 @@ A/B via scripts/bench_pallas_conv.py).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _default_interpret() -> bool:
+    # CPU test runs set PGGAN_PALLAS_INTERPRET=1 (tests/conftest.py)
+    return os.environ.get("PGGAN_PALLAS_INTERPRET") == "1"
 
 
 def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W):
@@ -69,14 +75,15 @@ def supported(x_nchw_shape, w_shape) -> bool:
     return (kh, kw) == (3, 3) and wc == c and w % 128 == 0 and h % 8 == 0
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool | None = None) -> jax.Array:
     """Same-padding 3x3 conv, NCHW in / NCHW out (spatial-lanes Pallas).
 
     x: (N, C, H, W) float32 with W % 128 == 0; w: (3, 3, C, K) float32
     (HWIO, already scaled by any equalized-LR constant). Returns (N, K, H, W).
     """
+    if interpret is None:
+        interpret = _default_interpret()
     n, c, h, w_dim = x_nchw.shape
     assert supported(x_nchw.shape, w_hwio.shape), \
         (x_nchw.shape, w_hwio.shape)
@@ -134,10 +141,50 @@ def _lax_conv(x_nchw, w):
 def _conv3x3_bwd(res, g):
     x, w = res
     w_flip = w[::-1, ::-1].transpose(0, 1, 3, 2)  # flip taps, swap in/out
-    dx = conv3x3_small_c(g, w_flip)
+    # dx via the custom op itself (not the raw pallas_call) so the backward
+    # is differentiable again — WGAN-GP's grad-of-grad differentiates this
+    # function when the critic's input-gradient is part of the loss.
+    dx = conv3x3(g, w_flip)
     _, dw_vjp = jax.vjp(lambda w_: _lax_conv(x, w_), w)
     (dw,) = dw_vjp(g)
     return dx, dw
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order-differentiable wrapper (for WGAN-GP's grad-of-grad)
+# ---------------------------------------------------------------------------
+# ``conv3x3``'s custom_vjp computes dx with the Pallas kernel — fastest, but
+# custom_vjp residual graphs leak a raw pallas_call that reverse-over-reverse
+# (the gradient penalty) cannot differentiate. ``conv3x3_ho`` instead defines
+# a custom_jvp whose primal is the Pallas kernel (re-wrapped, so arbitrarily
+# nested traces keep hitting this rule) while all tangents go through lax
+# convs — transposable and differentiable to any order. Net effect: fast
+# Pallas forward, XLA derivatives, valid under grad-of-grad.
+
+@jax.custom_jvp
+def conv3x3_ho(x_nchw: jax.Array, w_hwio: jax.Array) -> jax.Array:
+    """Same-padding 3x3 conv (NCHW): Pallas forward, lax derivatives of any
+    order (safe inside the WGAN-GP double backward)."""
+    return conv3x3_small_c(x_nchw, w_hwio)
+
+
+def _conv3x3_ho_jvp(primals, tangents):
+    # All tangents via lax: transposable and differentiable to any order.
+    # (A Pallas dx here needs a full custom primitive with jvp+transpose
+    # rules — jax.custom_derivatives.linear_call cannot carry the residual
+    # (weight) tangents the WGAN-GP outer grad requires. Round-2 item.)
+    x, w = primals
+    tx, tw = tangents
+    y = conv3x3_ho(x, w)  # stays wrapped under nested traces
+    ty = jnp.zeros_like(y)
+    if not isinstance(tx, jax.custom_derivatives.SymbolicZero):
+        ty = ty + _lax_conv(tx, w)
+    if not isinstance(tw, jax.custom_derivatives.SymbolicZero):
+        ty = ty + _lax_conv(x, tw)
+    return y, ty
+
+
+conv3x3_ho.defjvp(_conv3x3_ho_jvp, symbolic_zeros=True)

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Pallas kernels run in interpreter mode on the CPU test platform
+os.environ.setdefault("PGGAN_PALLAS_INTERPRET", "1")
+
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")

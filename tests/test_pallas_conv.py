@@ -67,3 +67,55 @@ def test_custom_vjp_matches_lax(monkeypatch):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_ho_wrapper_grad_of_grad_matches_lax():
+    """conv3x3_ho must survive reverse-over-reverse (the WGAN-GP pattern)
+    with gradients equal to pure-lax."""
+    import pggan_tpu.ops.pallas_conv as pc
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 4, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+
+    def gp_like(fn, ww):
+        gx = jax.grad(lambda xx: jnp.sum(fn(xx, ww)))(x)
+        return jnp.sum(jnp.square(gx))
+
+    o1 = jax.grad(lambda w_: gp_like(pc.conv3x3_ho, w_))(w)
+    o2 = jax.grad(lambda w_: gp_like(pc._lax_conv, w_))(w)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_discriminator_pallas_tail_matches_reference_path():
+    """pallas_tail=True must be numerically identical to the NHWC path,
+    including full WGAN-GP gradients."""
+    from pggan_tpu.losses import wgan_gp_D_loss
+    from pggan_tpu.models import Discriminator, Generator
+
+    shape = (8, 3, 128, 128)
+    d_p = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
+    d_p._pallas_min_res = 128
+    d_r = Discriminator(shape, fmap_base=128, fmap_max=32)
+    g = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
+    dp, gp = d_p.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
+    assert d_p._use_pallas_entry(5)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    np.testing.assert_allclose(
+        np.asarray(d_p.apply(dp, x, 5, 0.4)),
+        np.asarray(d_r.apply(dp, x, 5, 0.4)), rtol=1e-4, atol=1e-5)
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+
+    def dloss(model, params):
+        c, _ = wgan_gp_D_loss(lambda p, xx: model.apply(p, xx, 5, 0.5),
+                              lambda p, zz: g.apply(p, zz, 5, 0.5),
+                              params, gp, x, z, jax.random.PRNGKey(4))
+        return c
+
+    g1 = jax.grad(lambda p: dloss(d_p, p))(dp)
+    g2 = jax.grad(lambda p: dloss(d_r, p))(dp)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
