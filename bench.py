@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: fused G+D WGAN-GP train-step throughput on the paper config.
 
-Measures the CelebA-128 stage (depth 5, 128x128, minibatch 16, full
-fmap_base-4096 models — BASELINE.json config 3) on the attached TPU chip and
-prints ONE JSON line:
+Measures kimg/hour/chip at EVERY progressive depth 0..8 (4x4 -> 1024x1024,
+full fmap_base-4096 models, the reference's per-depth minibatch overrides
+plugins.py:19-20) on the attached TPU chip — the driver metric is literally
+"kimg/hour/chip per depth" (BASELINE.json) — and prints ONE JSON line for
+the headline CelebA-128 stage (depth 5, minibatch 16, BASELINE.json
+config 3):
 
     {"metric": "kimg_per_hour_chip_128px", "value": ..., "unit": "kimg/h",
      "vs_baseline": ...}
@@ -14,7 +17,7 @@ publishes no numbers, so the anchor is the commonly reported ~4 s/kimg
 PGGAN-at-128px single-V100-class figure => ~900 kimg/h. The driver's
 north-star target is 10x that on a v5e-16 pod; this metric is per chip).
 
-Extra diagnostics (per-step ms, a 1024x1024 step timing) go to stderr.
+The full per-depth table goes to stderr.
 """
 
 import json
@@ -25,14 +28,21 @@ import numpy as np
 
 REFERENCE_ANCHOR_KIMG_PER_HOUR = 900.0  # see BASELINE.md "anchor" row
 
+# reference per-depth minibatch (plugins.py:19-20): 16 default + overrides
+MINIBATCH = {d: 16 for d in range(9)}
+MINIBATCH.update({6: 14, 7: 6, 8: 3})
 
-def time_step(builder, state, depth, batch, iters=40, warmup=3, rounds=3):
+# timing-loop length per depth: long enough to swamp dispatch overhead at
+# fast stages, short enough to keep the 1024px stage affordable
+ITERS = {0: 300, 1: 300, 2: 300, 3: 200, 4: 100, 5: 40, 6: 30, 7: 20, 8: 15}
+
+
+def time_step(builder, state, depth, batch, iters, warmup=3, rounds=3):
     """Steady-state step time. The attached runtime pipelines dispatches
     deeply, so the FIRST timing round mostly measures dispatch while real
     execution lags behind; it is discarded (pipeline absorption) and the
     mean of the remaining rounds is reported. See BASELINE.md "measurement
     caveats"."""
-    import jax
     # stable-phase graph (alpha == 1): the dominant training regime
     step = builder.step_fn(depth, batch, fade=False)
     reals = np.random.RandomState(0).randn(
@@ -71,31 +81,31 @@ def main():
     state = init_state(G.init(keys[0]), D.init(keys[1]), opt, keys[2])
     builder = TrainStepBuilder(G, D, opt)
 
-    # primary: 128x128 stage (depth 5), reference minibatch 16
-    dt128 = None
-    for attempt in range(2):  # the remote-compile tunnel has transient drops
-        try:
-            dt128, state = time_step(builder, state, depth=5, batch=16)
-            break
-        except Exception as e:
-            print(f"128px step attempt {attempt}: {e}", file=sys.stderr)
-            if attempt == 1:
-                raise
-    kimg_per_hour = 16.0 / dt128 * 3600.0 / 1000.0
-    print(f"step@128px: {dt128 * 1000:.2f} ms  "
-          f"({kimg_per_hour:.1f} kimg/h/chip)", file=sys.stderr)
+    only = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    depths = only or list(range(9))
+    table = {}
+    for depth in depths:
+        batch = MINIBATCH[depth]
+        res = 4 * 2 ** depth
+        for attempt in range(2):  # the remote-compile tunnel has drops
+            try:
+                dt, state = time_step(builder, state, depth, batch,
+                                      iters=ITERS[depth])
+                kimg_h = batch / dt * 3.6
+                table[depth] = (res, batch, dt, kimg_h)
+                print(f"depth {depth} ({res:4}px, b{batch:2}): "
+                      f"{dt * 1000:9.2f} ms/step  {kimg_h:9.1f} kimg/h/chip",
+                      file=sys.stderr, flush=True)
+                break
+            except Exception as e:
+                print(f"depth {depth} attempt {attempt}: {e}",
+                      file=sys.stderr)
+                if attempt == 1 and depth == 5:
+                    raise  # the headline metric must not be silently absent
 
-    # secondary: 1024x1024 stage (depth 8), reference minibatch 3
-    for attempt in range(2):  # the remote-compile tunnel has transient drops
-        try:
-            dt1024, state = time_step(builder, state, depth=8, batch=3,
-                                      iters=15, warmup=2)
-            print(f"step@1024px: {dt1024 * 1000:.2f} ms  "
-                  f"({3.0 / dt1024 * 3.6:.2f} kimg/h/chip)", file=sys.stderr)
-            break
-        except Exception as e:  # not the headline metric; report and move on
-            print(f"1024px step attempt {attempt}: {e}", file=sys.stderr)
-
+    if 5 not in table:
+        raise SystemExit("headline depth-5 measurement missing")
+    kimg_per_hour = table[5][3]
     print(json.dumps({
         "metric": "kimg_per_hour_chip_128px",
         "value": round(kimg_per_hour, 2),

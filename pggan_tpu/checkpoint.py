@@ -88,7 +88,11 @@ def save_training_state(path: str, state, cur_nimg: int, iterations: int,
 
 
 def load_training_state(path: str):
-    """Returns (TrainState-with-numpy-leaves, cur_nimg, iterations)."""
+    """Returns (TrainState-with-numpy-leaves, cur_nimg, iterations,
+    base_time) where ``base_time`` is the cumulative training wall-clock in
+    seconds at save time — fed back into ``AbsoluteTimeMonitor`` on resume so
+    the ``time`` stat continues instead of restarting at zero."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    return payload["state"], payload["cur_nimg"], payload["iterations"]
+    return (payload["state"], payload["cur_nimg"], payload["iterations"],
+            float(payload.get("base_time", 0.0)))

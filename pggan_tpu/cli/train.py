@@ -34,6 +34,7 @@ from pggan_tpu.models import Discriminator, Generator
 from pggan_tpu.parallel.mesh import (
     check_batch_divisible,
     data_parallel_mesh,
+    fit_minibatch_to_mesh,
     initialize_distributed,
 )
 from pggan_tpu.training.plugins import (
@@ -107,6 +108,8 @@ default_params = OrderedDict(
     debug_nans=False,     # jax nan-checker sanitizer mode (SURVEY.md §5)
     profile_dir="",       # capture a jax.profiler trace of a few steps
     device_input_prep=False,  # ship uint8 batches; fade+remap on device
+    scale_lr_with_batch=False,  # linear LR scaling when the pod batch policy
+                                # rounds a stage's global batch up to the mesh
 )
 
 LOSSES = ["G_loss", "D_loss", "D_real", "D_fake"]
@@ -195,16 +198,18 @@ def main(params):
             SaverPlugin.state_pattern.format(
                 "{:06}".format(resume_nimg // 1000)))
         if os.path.exists(state_path):
-            resume_state, resume_nimg, resume_iterations = \
+            resume_state, resume_nimg, resume_iterations, resume_base_time = \
                 load_training_state(state_path)
             logger.log(f"Restored full training state from {state_path}")
         else:
             resume_iterations = 0
+            resume_base_time = 0.0
     else:
         G = Generator(dataset.shape, **params.get("Generator", {}))
         D = Discriminator(dataset.shape, **params.get("Discriminator", {}))
         g_params = d_params = None
         resume_iterations = 0
+        resume_base_time = 0.0
     if params["progressive_growing"]:
         assert G.max_depth == D.max_depth
     latent_size = G.latent_size
@@ -289,6 +294,32 @@ def main(params):
             dm_cfg["max_lod"] = G.R
         if dm_cfg.get("depth_offset") is None:
             dm_cfg["depth_offset"] = dataset.model_dataset_depth_offset
+        if mesh is not None:
+            # pod batch policy: the reference per-depth batches (e.g. the
+            # 1024px overrides {6:14, 7:6, 8:3}) need not divide the mesh;
+            # round each global batch up to a mesh multiple
+            from pggan_tpu.training import schedule
+            ref_def = dm_cfg.get("minibatch_default",
+                                 schedule.MINIBATCH_DEFAULT)
+            ref_over = dm_cfg.get("minibatch_overrides",
+                                  schedule.MINIBATCH_OVERRIDES)
+            new_def, new_over, changed = fit_minibatch_to_mesh(
+                ref_def, ref_over, mesh)
+            dm_cfg["minibatch_default"] = new_def
+            dm_cfg["minibatch_overrides"] = new_over
+            if changed:
+                logger.log(
+                    f"Pod batch policy: global minibatches rounded up to "
+                    f"multiples of {mesh.shape['data']} devices: "
+                    + ", ".join(
+                        ("default" if d == -1 else f"depth {d}")
+                        + f" {old}->{new}"
+                        for d, (old, new) in sorted(changed.items())))
+                if params["scale_lr_with_batch"]:
+                    dm_cfg["lr_reference_minibatch"] = {
+                        "default": ref_def, "overrides": dict(ref_over or {})}
+                    logger.log("LR linearly scaled with the grown batches "
+                               "(--scale_lr_with_batch)")
         trainer.register_plugin(DepthManager(get_dataiter, rl, max_depth,
                                              **dm_cfg))
     else:
@@ -298,6 +329,11 @@ def main(params):
     for i, loss_name in enumerate(LOSSES):
         trainer.register_plugin(EfficientLossMonitor(i, loss_name))
 
+    # wall-clock BEFORE the saver: the checkpoint persists the cumulative
+    # "time" stat, which must be fresh for the tick being saved. On resume
+    # the persisted value continues the clock; --resume_time overrides it.
+    trainer.register_plugin(AbsoluteTimeMonitor(
+        params["resume_time"] or resume_base_time))
     checkpoints_dir = params["checkpoints_dir"] or result_dir
     trainer.register_plugin(SaverPlugin(checkpoints_dir,
                                         **params.get("SaverPlugin", {})))
@@ -323,7 +359,6 @@ def main(params):
     if params.get("profile_dir"):
         from pggan_tpu.training.plugins import TraceProfiler
         trainer.register_plugin(TraceProfiler(params["profile_dir"]))
-    trainer.register_plugin(AbsoluteTimeMonitor(params["resume_time"]))
     trainer.register_plugin(LRScheduler(params["D_lr_max"],
                                         params["G_lr_max"],
                                         params["lr_rampup_kimg"]))

@@ -186,24 +186,28 @@ class FolderDataset(DepthDataset):
             self._preload_pyramid()
 
     def _preload_pyramid(self):
-        """Materialize every depth level top-down: load full-res once, then
-        derive each coarser level from the one above (reference
-        dataset.py:141-162)."""
+        """Materialize every depth level top-down: load full-res once
+        (``_load_all_files`` — subclasses may batch it through a device
+        program), then derive each coarser level from the one above
+        (reference dataset.py:141-162)."""
         for depth in range(self.max_dataset_depth,
                            self.min_dataset_depth - 1, -1):
-            items = []
-            for i in range(len(self.files)):
-                if depth == self.max_dataset_depth:
-                    dp = self.load_file(i)
-                else:
-                    dp = self.get_datapoint_version(
-                        self._data[depth + 1][i], depth + 1, depth)
-                items.append(dp)
+            if depth == self.max_dataset_depth:
+                items = self._load_all_files()
+            else:
+                items = [self.get_datapoint_version(
+                    self._data[depth + 1][i], depth + 1, depth)
+                    for i in range(len(self.files))]
             first_shape = items[0].shape
             for dp in items[1:]:
                 assert dp.shape == first_shape, \
                     "all files must share one shape (dataset.py:160)"
             self._data[depth] = np.stack(items, axis=0)
+
+    def _load_all_files(self):
+        """Full-resolution datapoints for every file; default is the per-file
+        host loader."""
+        return [self.load_file(i) for i in range(len(self.files))]
 
     @property
     def data(self):
@@ -317,6 +321,11 @@ class SoundImageDataset(DefaultImageFolderDataset):
     Each image is normalized per-file to ``range_in`` uint8 (dataset.py:299).
     ``frequency`` documents the intended sample rate; like the reference's
     soundfile path (dataset.py:25), no resampling is performed.
+
+    With ``preload=True`` the abslog/reallog feature extraction runs as ONE
+    batched on-device XLA program over all files (``_load_all_files``);
+    the per-file host path (``load_file``) remains the parity reference and
+    serves the lazy (non-preload) mode.
     """
 
     def __init__(self,
@@ -343,6 +352,39 @@ class SoundImageDataset(DefaultImageFolderDataset):
                          preload, model_dataset_depth_offset,
                          model_initial_depth, alpha, range_in, range_out,
                          scale_factor=scale_factor)
+
+    def _load_all_files(self):
+        """Batched ON-DEVICE feature extraction for the preload path: all
+        files' spectrogram images are computed by one jitted XLA program
+        (vmapped STFT + log transform + per-file normalize,
+        ops/stft.py sound_images_jax) instead of the reference's per-file
+        librosa CPU loop (dataset.py:293-299). Only the first n_fft//2
+        frames survive the square crop, so each signal is truncated to the
+        exact sample count that window needs. Falls back to the host path
+        for raw mode, too-short files, or any device failure."""
+        if self.img_mode == "raw":
+            return super()._load_all_files()
+        from pggan_tpu.data.audio_io import read_wav
+        from pggan_tpu.ops.stft import (
+            sound_image_signal_length,
+            sound_images_jax,
+        )
+        need = sound_image_signal_length(self.n_fft, self.hop_length)
+        sigs = []
+        for f in self.files:
+            sig, _ = read_wav(f, mono=True)
+            if sig.shape[0] < need:  # host path handles short files' errors
+                return super()._load_all_files()
+            sigs.append(sig[:need])
+        try:
+            imgs = np.asarray(sound_images_jax(
+                np.stack(sigs), self.n_fft, self.hop_length, self.img_mode,
+                tuple(self.range_in)))
+        except Exception as e:  # no usable device: preload must still work
+            print(f"[SoundImageDataset] device extraction failed ({e}); "
+                  f"using host STFT", flush=True)
+            return super()._load_all_files()
+        return [img[:, :, np.newaxis] for img in imgs]
 
     def load_file(self, item) -> np.ndarray:
         from pggan_tpu.data.audio_io import read_wav

@@ -44,12 +44,20 @@ class Discriminator:
     leakyrelu: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
     fused_scale: bool = True  # fuse the fade path's pool into fromRGB (exact)
-    pallas_tail: bool = False  # spatial-lanes Pallas convs for the entry block
+    pallas_tail: bool = True  # spatial-lanes Pallas convs for the high-res tail
     dtype: object = field(default=jnp.float32, repr=False)
 
-    # minimum entry resolution for the Pallas path (plain class attribute so
-    # it stays out of the constructor/CLI surface; tests lower it)
-    _pallas_min_res = 256
+    # Pallas-head envelope (plain class attributes so they stay out of the
+    # constructor/CLI surface; tests/benches tune them): a stage runs NCHW
+    # when its resolution is lane-aligned (>=128, %128) and its input channel
+    # count is small enough that NHWC would waste lanes.
+    _pallas_min_res = 128
+    _pallas_max_cin = 64
+    # set by TrainStepBuilder when training over a device mesh: the NCHW head
+    # is wrapped in shard_map over this axis (Pallas kernels are opaque to
+    # GSPMD — without it the partitioner would all-gather around them)
+    mesh = None
+    batch_axis = "data"
 
     def __post_init__(self):
         self._compute = (jnp.bfloat16
@@ -114,66 +122,85 @@ class Discriminator:
         # keeps its default (lrelu/relu) — reference network.py:145,160.
         return self._conv(p["fromrgb"], x, pad=0, use_pixelnorm=False)
 
-    # -- spatial-lanes (NCHW/Pallas) entry path ------------------------------
-    def _use_pallas_entry(self, depth: int) -> bool:
-        """The entry block at high resolutions has tiny channel counts that
-        waste NHWC lanes; route it through the NCHW spatial-lanes Pallas conv
-        (ops/pallas_conv.py — measured 1.75x over the XLA chain at 1024px).
-        f32 only; W must be lane-aligned."""
-        if not self.pallas_tail or self._compute is not None or depth == 0:
-            return False
-        res = self.resolution_at(depth)
-        ch_in = self.nf(depth + 1)  # entry block is DBlock(nf(d+1), nf(d))
-        ch_out = self.nf(depth)
+    # -- spatial-lanes (NCHW/Pallas) head ------------------------------------
+    def _stage_ok(self, res: int, ch_in: int) -> bool:
         return (res >= self._pallas_min_res and res % 128 == 0
-                and ch_in <= 64 and ch_out <= 64)
+                and ch_in <= self._pallas_max_cin)
 
-    def _entry_block_nchw(self, p, x_nhwc):
-        """Entry block + pool (+ fade blend) computed in NCHW with Pallas
-        3x3 convs; returns NHWC features at half resolution. Exactly the
-        reference entry semantics (network.py:227-233)."""
-        # conv3x3_ho: Pallas forward, lax derivatives — required because the
-        # D sits under the WGAN-GP double backward (grad-of-grad)
-        from pggan_tpu.ops.pallas_conv import conv3x3_ho as conv3x3
-        from pggan_tpu.ops.primitives import he_constant, leaky_relu
+    def _pallas_span(self, depth: int) -> int:
+        """How many leading stages (entry block + following DBlocks) run on
+        the NCHW spatial-lanes path (ops/pallas_conv.py).
 
-        def act(v):
-            return leaky_relu(v, 0.2) if self.act == "lrelu" else \
-                jnp.maximum(v, 0.0)
+        The high-res tail has tiny channel counts that waste NHWC lanes —
+        and keeping those stages NCHW *end-to-end* (convs, pool, fade blend)
+        also kills the per-conv layout copies that profiles put at ~33% of
+        the 1024px step. f32 only; W must be lane-aligned (res % 128 == 0).
+        The entry stage runs at res(depth) on nf(depth+1) channels; loop
+        stage i runs at res(i-1) on nf(i) channels; the 4x4 last block
+        (res 4) never qualifies."""
+        if not self.pallas_tail or self._compute is not None or depth == 0:
+            return 0
+        if not self._stage_ok(self.resolution_at(depth), self.nf(depth + 1)):
+            return 0
+        span = 1
+        for i in range(depth, 1, -1):
+            if not self._stage_ok(self.resolution_at(i - 1), self.nf(i)):
+                break
+            span += 1
+        return span
+
+    def _pallas_head(self, blocks, x_nhwc, depth, alpha, fade, span):
+        """Entry block + fade blend + the next ``span - 1`` DBlocks, computed
+        in NCHW with Pallas 3x3 convs (each stage ends in its 2x2 avg-pool).
+        Semantics exactly match the NHWC path / reference entry chain
+        (network.py:227-238); returns NHWC features at ``res(depth - span)``
+        with ``nf(depth - span + 1)`` channels, f32."""
+        from pggan_tpu.ops import nchw
+
+        n = len(blocks)
 
         def conv1x1(v, pp):
-            w = pp["w"][0, 0]
-            if self.wscale:
-                w = w * he_constant(w.shape[0])
-            y = jnp.einsum("nchw,ck->nkhw", v, w,
-                           preferred_element_type=jnp.float32)
-            return act(y + pp["b"][None, :, None, None])
+            # fromRGB: act, never pixelnorm (reference network.py:145,160)
+            return nchw.conv1x1(pp, v, wscale=self.wscale, act=self.act,
+                                use_pixelnorm=False, eps=self.eps)
 
         def conv3(v, pp):
-            w = pp["w"]
-            if self.wscale:
-                w = w * he_constant(9 * w.shape[2])
-            y = conv3x3(v, w)
-            y = act(y + pp["b"][None, :, None, None])
-            if self.pixelnorm:
-                y = y * jax.lax.rsqrt(
-                    jnp.mean(y * y, axis=1, keepdims=True) + self.eps)
-            return y
-
-        def pool(v):
-            return jax.lax.reduce_window(
-                v, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
-                "VALID") * 0.25
+            return nchw.conv3x3_block(pp, v, wscale=self.wscale,
+                                      act=self.act,
+                                      use_pixelnorm=self.pixelnorm,
+                                      eps=self.eps)
 
         x = x_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)  # -> NCHW
+        p = blocks[n - (depth + 1)]
         h = conv1x1(x, p["fromrgb"])
-        if self.pixelnorm:
-            h = h * jax.lax.rsqrt(
-                jnp.mean(h * h, axis=1, keepdims=True) + self.eps)
         h = conv3(h, p["c1"])
         h = conv3(h, p["c2"])
-        h = pool(h)
-        return h.transpose(0, 2, 3, 1)  # back to NHWC at half resolution
+        h = nchw.avg_pool_2x(h)
+        if fade:
+            # fade-in blend with the next block's fromRGB of the pooled input
+            # (network.py:230-233), all in NCHW
+            prev = conv1x1(nchw.avg_pool_2x(x), blocks[n - depth]["fromrgb"])
+            a = jnp.asarray(alpha, jnp.float32)
+            h = h * a + (1.0 - a) * prev
+        for i in range(depth, depth - span + 1, -1):
+            p = blocks[n - i]
+            h = conv3(h, p["c1"])
+            h = conv3(h, p["c2"])
+            h = nchw.avg_pool_2x(h)
+        return h.transpose(0, 2, 3, 1)  # back to NHWC
+
+    def _pallas_head_fn(self, depth, fade, span, batch_size=None):
+        """(blocks, x, alpha) -> NHWC features; shard_mapped over the batch
+        axis when a mesh is set, because a pallas_call is opaque to GSPMD
+        (the partitioner would otherwise all-gather its operands). The head
+        is purely per-example, so batch-sharding it is exact."""
+        from pggan_tpu.ops.nchw import shard_map_batch
+
+        def head(bp, xx, aa):
+            return self._pallas_head(bp, xx, depth, aa, fade, span)
+
+        return shard_map_batch(head, self.mesh, self.batch_axis,
+                               n_array_args=1, batch_size=batch_size)
 
     def _block(self, p, h, is_last: bool, first: bool):
         if first:
@@ -200,29 +227,35 @@ class Discriminator:
         blocks = params["blocks"]
         n = len(blocks)
         x = x.astype(self.dtype)
-        if self._use_pallas_entry(depth):
-            # NCHW spatial-lanes path: entry block + pool in one go
-            h = self._entry_block_nchw(blocks[n - (depth + 1)], x)
+        span = self._pallas_span(depth)
+        if span > 0:
+            # NCHW spatial-lanes head: entry block, fade blend and the
+            # following small-channel DBlocks in one layout, Pallas convs
+            head = self._pallas_head_fn(depth, fade, span, x.shape[0])
+            h = head(blocks, x, jnp.asarray(alpha, jnp.float32))
+            start = depth - span + 1  # head covered loop stages depth..start+1
         else:
             h = self._block(blocks[n - (depth + 1)], x,
                             is_last=(depth == 0), first=True)
             if depth > 0:
                 h = avg_pool_2x(h)
-        if depth > 0 and fade:
-            # fade-in blend with the next block's fromRGB of the downsampled
-            # input (network.py:230-233); alpha traced within the fade graph.
-            if self.fused_scale:
-                # exact fusion: pool precedes the 1x1 conv, so the mean
-                # commutes into the kernel (ops/primitives.py pool-in)
-                prev = equalized_conv2d_pool_in(
-                    blocks[n - depth]["fromrgb"], x, wscale=self.wscale,
-                    act=self.act, use_pixelnorm=False, eps=self.eps,
-                    compute_dtype=self._compute)
-            else:
-                prev = self._fromrgb(blocks[n - depth], avg_pool_2x(x))
-            alpha_c = jnp.asarray(alpha, self.dtype)
-            h = h * alpha_c + (1.0 - alpha_c) * prev
-        for i in range(depth, 0, -1):
+            if depth > 0 and fade:
+                # fade-in blend with the next block's fromRGB of the
+                # downsampled input (network.py:230-233); alpha traced
+                # within the fade graph.
+                if self.fused_scale:
+                    # exact fusion: pool precedes the 1x1 conv, so the mean
+                    # commutes into the kernel (ops/primitives.py pool-in)
+                    prev = equalized_conv2d_pool_in(
+                        blocks[n - depth]["fromrgb"], x, wscale=self.wscale,
+                        act=self.act, use_pixelnorm=False, eps=self.eps,
+                        compute_dtype=self._compute)
+                else:
+                    prev = self._fromrgb(blocks[n - depth], avg_pool_2x(x))
+                alpha_c = jnp.asarray(alpha, self.dtype)
+                h = h * alpha_c + (1.0 - alpha_c) * prev
+            start = depth
+        for i in range(start, 0, -1):
             h = self._block(blocks[n - i], h, is_last=(i == 1), first=False)
             if i > 1:
                 h = avg_pool_2x(h)

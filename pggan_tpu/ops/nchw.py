@@ -1,0 +1,104 @@
+"""NCHW (spatial-lanes) building blocks for the high-resolution model tails.
+
+At the progressive pyramid's high-res stages the channel counts are tiny
+(3..64), so the TPU-native NHWC layout wastes the 128-wide lanes and XLA
+inserts layout copies around every conv (profiled at ~33% of the 1024px
+step, BASELINE.md). These helpers keep those stages **NCHW end-to-end**:
+W sits in the lanes, the 3x3 convs run on the Pallas spatial-lanes primitive
+(ops/pallas_conv.py — differentiable to any order, so safe under WGAN-GP's
+grad-of-grad), and everything else (1x1 convs, pools, upsamples, epilogues)
+is layout-preserving XLA.
+
+Semantics mirror the NHWC primitives in ops/primitives.py (reference
+network.py:7-41): equalized-LR scaling folded as a static constant,
+bias -> (leaky)ReLU -> optional pixelnorm over the channel axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.pallas_conv import conv3x3
+from pggan_tpu.ops.primitives import he_constant, leaky_relu
+
+
+def _act(y: jax.Array, act: str | None) -> jax.Array:
+    if act == "lrelu":
+        return leaky_relu(y, 0.2)
+    if act == "relu":
+        return jnp.maximum(y, 0.0)
+    if act is None:
+        return y
+    raise ValueError(f"unknown act: {act!r}")
+
+
+def pixelnorm_c(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Pixelwise feature norm over the channel axis (dim 1)."""
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + eps)
+
+
+def conv1x1(params: dict, x: jax.Array, *, wscale: bool = True,
+            act: str | None = "lrelu", use_pixelnorm: bool = False,
+            eps: float = 1e-8) -> jax.Array:
+    """Equalized 1x1 conv as a channel einsum (fromRGB / toRGB)."""
+    w = params["w"][0, 0]
+    if wscale:
+        w = w * he_constant(w.shape[0])
+    y = jnp.einsum("nchw,ck->nkhw", x, w,
+                   preferred_element_type=jnp.float32)
+    y = _act(y + params["b"][None, :, None, None], act)
+    return pixelnorm_c(y, eps) if use_pixelnorm else y
+
+
+def conv3x3_block(params: dict, x: jax.Array, *, wscale: bool = True,
+                  act: str | None = "lrelu", use_pixelnorm: bool = True,
+                  eps: float = 1e-8) -> jax.Array:
+    """Equalized 3x3 conv (Pallas spatial-lanes) + bias/act/pixelnorm."""
+    w = params["w"]
+    if wscale:
+        w = w * he_constant(9 * w.shape[2])
+    y = conv3x3(x, w)
+    y = _act(y + params["b"][None, :, None, None], act)
+    return pixelnorm_c(y, eps) if use_pixelnorm else y
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 average pool, NCHW."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") * 0.25
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest 2x upsample, NCHW (reshape+broadcast; fuses with the
+    following conv's pad into one XLA pass)."""
+    n, c, h, w = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :, None], (n, c, h, 2, w, 2))
+    return x.reshape(n, c, h * 2, w * 2)
+
+
+def shard_map_batch(fn, mesh, batch_axis: str, n_array_args: int,
+                    batch_size: int | None = None):
+    """Wrap a (params, arr..., scalar) function in shard_map over the batch
+    axis when a >1-device mesh is present. pallas_call is opaque to GSPMD —
+    without manual sharding the partitioner would all-gather its operands.
+    The wrapped region must be purely per-example (all NCHW tail/head
+    subgraphs are).
+
+    Args order contract: ``fn(params_pytree, *arrays, scalar)`` where every
+    array is batch-major. When ``batch_size`` is given and doesn't divide
+    the axis (e.g. an odd sampling batch outside training), fall back to the
+    unwrapped function — GSPMD then replicates around the kernels, which is
+    slower but correct.
+    """
+    if mesh is None or dict(mesh.shape).get(batch_axis, 1) <= 1:
+        return fn
+    if batch_size is not None and batch_size % dict(mesh.shape)[batch_axis]:
+        return fn
+    from jax.sharding import PartitionSpec as P
+    # check_vma off: replicated-param cotangents under grad-of-grad trip the
+    # varying-axes checker; equivalence is pinned by tests
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(),) + (P(batch_axis),) * n_array_args + (P(),),
+        out_specs=P(batch_axis), check_vma=False)

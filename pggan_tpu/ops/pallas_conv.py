@@ -8,18 +8,25 @@ channels-last tensors with C << 128 waste the (8, 128) tile lanes
 so W sits in the lanes (full 128-lane utilization at any C), DMAs one
 (C, TH+8, W+128) halo slab per grid step from HBM (slab sizes are
 8x128-aligned as Mosaic requires; the over-fetch is the alignment tax),
-builds a (9C, TH*W) shifted-window matrix in VMEM, and does one MXU dot
-``(K, 9C) @ (9C, TH*W)`` whose result IS the output tile — ~one read of x
-plus one write of y: the bandwidth floor.
+builds the 3x3 window as nine shifted slices in VMEM, and does nine
+accumulated MXU dots ``(K, C) @ (C, W)`` per output row whose result IS the
+output tile — ~one read of x plus one write of y: the bandwidth floor.
+
+Differentiation: ``conv3x3`` is a first-class JAX primitive with bilinear
+JVP and transpose rules (``ad.defbilinear``), so it is differentiable to
+ANY order — including WGAN-GP's reverse-over-reverse (the gradient penalty
+differentiates the critic's input-gradient, reference wgan_gp_loss.py:25-28).
+The input-cotangent transpose is the same spatial-lanes kernel applied to
+the cotangent with tap-flipped, io-swapped weights (so dx and ddx run on
+Pallas too); the weight-cotangent is XLA's dedicated dw-conv formulation
+(tiny output, huge contraction — the regime XLA already handles well).
 
 Status: f32, same-padding 3x3, W a multiple of 128, H a multiple of 8.
-``conv3x3`` is fully differentiable (custom VJP: dx reuses this kernel with
-flipped/io-swapped weights, dw uses XLA's dw-conv path). Round-1 measured
-result on TPU v5e: bit-accurate vs ``lax.conv_general_dilated`` and 2.1x
-faster steady-state at the profiled worst layer (3x16x1024x1024 -> 16ch).
-Model integration (keeping the high-res stages NCHW end-to-end) is the
-round-2 step. Correctness pinned in tests (interpret mode on CPU; compiled
-A/B via scripts/bench_pallas_conv.py).
+Round-1 measured result on TPU v5e: bit-accurate vs
+``lax.conv_general_dilated`` and 2.1x faster steady-state at the profiled
+worst layer (3x16x1024x1024 -> 16ch); the full NCHW D-entry chain
+(fwd+bwd) 1.75x over the NHWC/XLA chain. Correctness pinned in tests
+(interpret mode on CPU; compiled A/B via scripts/bench_pallas_conv.py).
 """
 
 from __future__ import annotations
@@ -31,11 +38,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.extend import core as jex_core
+from jax.interpreters import ad, batching, mlir
 
 
 def _default_interpret() -> bool:
-    # CPU test runs set PGGAN_PALLAS_INTERPRET=1 (tests/conftest.py)
-    return os.environ.get("PGGAN_PALLAS_INTERPRET") == "1"
+    # CPU test runs set PGGAN_PALLAS_INTERPRET=1 (tests/conftest.py); the
+    # multi-chip dryrun and any other host-platform run are caught by the
+    # backend check (compiled Mosaic kernels only exist on TPU).
+    if os.environ.get("PGGAN_PALLAS_INTERPRET") == "1":
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # backend not initialisable: stay conservative
+        return True
 
 
 def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W):
@@ -99,7 +115,7 @@ def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n, k, h, w_dim), jnp.float32),
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole padded x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # whole padded x in HBM
             pl.BlockSpec((9, k, c), lambda n_, t_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -116,75 +132,79 @@ def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper
+# The conv3x3 primitive: differentiable to any order, Pallas everywhere the
+# FLOPs are.
 # ---------------------------------------------------------------------------
-# dx is the same spatial-lanes kernel run on the cotangent with the spatially
-# flipped, io-swapped weights; dw (tiny output, huge contraction) goes through
-# XLA's dedicated dw-conv path, which is efficient in that regime.
+# The op is bilinear in (x, w), so jvp + transpose rules close it under
+# arbitrarily nested forward/reverse AD (``ad.defbilinear``):
+#   - tangents:     conv(tx, w) and conv(x, tw)   -> this primitive (Pallas)
+#   - x-cotangent:  conv(ct, flip_io(w))          -> this primitive (Pallas)
+#   - w-cotangent:  XLA dw-conv (batch contracted as the conv's feature dim)
+# This is what round 1's custom_vjp/custom_jvp wrappers could not provide:
+# the VJP residuals leaked raw pallas_calls that reverse-over-reverse (the
+# WGAN-GP gradient penalty) could not differentiate, forcing lax derivatives.
 
-@jax.custom_vjp
+conv3x3_p = jex_core.Primitive("pggan_conv3x3")
+
+
 def conv3x3(x_nchw: jax.Array, w_hwio: jax.Array) -> jax.Array:
-    """Differentiable same-padding 3x3 conv (NCHW), Pallas forward/dx."""
-    return conv3x3_small_c(x_nchw, w_hwio)
+    """Differentiable (any order) same-padding 3x3 conv, NCHW, Pallas."""
+    return conv3x3_p.bind(x_nchw, w_hwio)
 
 
-def _conv3x3_fwd(x, w):
-    return conv3x3_small_c(x, w), (x, w)
+def _conv3x3_abstract(x, w):
+    assert supported(x.shape, w.shape), (x.shape, w.shape)
+    n, c, h, wd = x.shape
+    return jax.core.ShapedArray((n, w.shape[-1], h, wd), x.dtype)
+
+
+def _flip_io(w_hwio: jax.Array) -> jax.Array:
+    """Spatially flipped, in/out-swapped weights: the conv-transpose kernel."""
+    return w_hwio[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+def _dx_transpose(ct, _x_undef, w):
+    # d/dx: same-padding conv of the cotangent with the flipped kernel —
+    # stays on the spatial-lanes Pallas kernel (this is the hot per-pixel
+    # gradient both in the D backward and in the GP's grad-of-grad).
+    return conv3x3(ct, _flip_io(w))
+
+
+def _dw_transpose(ct, x, _w_undef):
+    # d/dw[u,v,c,k] = sum_{n,i,j} xpad[n,c,i+u-1,j+v-1] * ct[n,k,i,j]:
+    # a conv contracting the sample axis as "features" — lhs x:(N,C,H,W)
+    # read as (feature=N, batch=C), rhs ct:(N,K,H,W) as (I=N, O=K), output
+    # (H'=3, W'=3, batch=C, feature=K) = HWIO. XLA's dw-conv path handles
+    # this tiny-output/huge-contraction regime well; no Pallas needed.
+    return jax.lax.conv_general_dilated(
+        x, ct, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("CNHW", "IOHW", "HWNC"),
+        preferred_element_type=jnp.float32)
+
+
+def _conv3x3_batch(args, dims):
+    x, w = args
+    bx, bw = dims
+    if bw is not None:
+        raise NotImplementedError("vmap over conv3x3 weights")
+    x = jnp.moveaxis(x, bx, 0)
+    b, n = x.shape[:2]
+    y = conv3x3(x.reshape((b * n,) + x.shape[2:]), w)
+    return y.reshape((b, n) + y.shape[1:]), 0
+
+
+conv3x3_p.def_abstract_eval(_conv3x3_abstract)
+conv3x3_p.def_impl(lambda x, w: conv3x3_small_c(x, w))
+mlir.register_lowering(
+    conv3x3_p,
+    mlir.lower_fun(lambda x, w: conv3x3_small_c(x, w),
+                   multiple_results=False))
+ad.defbilinear(conv3x3_p, _dx_transpose, _dw_transpose)
+batching.primitive_batchers[conv3x3_p] = _conv3x3_batch
 
 
 def _lax_conv(x_nchw, w):
+    """Reference NCHW conv (tests + the dw formulation's parity checks)."""
     return jax.lax.conv_general_dilated(
         x_nchw, w, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "HWIO", "NCHW"))
-
-
-def _conv3x3_bwd(res, g):
-    x, w = res
-    w_flip = w[::-1, ::-1].transpose(0, 1, 3, 2)  # flip taps, swap in/out
-    # dx via the custom op itself (not the raw pallas_call) so the backward
-    # is differentiable again — WGAN-GP's grad-of-grad differentiates this
-    # function when the critic's input-gradient is part of the loss.
-    dx = conv3x3(g, w_flip)
-    _, dw_vjp = jax.vjp(lambda w_: _lax_conv(x, w_), w)
-    (dw,) = dw_vjp(g)
-    return dx, dw
-
-
-conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
-
-
-# ---------------------------------------------------------------------------
-# Higher-order-differentiable wrapper (for WGAN-GP's grad-of-grad)
-# ---------------------------------------------------------------------------
-# ``conv3x3``'s custom_vjp computes dx with the Pallas kernel — fastest, but
-# custom_vjp residual graphs leak a raw pallas_call that reverse-over-reverse
-# (the gradient penalty) cannot differentiate. ``conv3x3_ho`` instead defines
-# a custom_jvp whose primal is the Pallas kernel (re-wrapped, so arbitrarily
-# nested traces keep hitting this rule) while all tangents go through lax
-# convs — transposable and differentiable to any order. Net effect: fast
-# Pallas forward, XLA derivatives, valid under grad-of-grad.
-
-@jax.custom_jvp
-def conv3x3_ho(x_nchw: jax.Array, w_hwio: jax.Array) -> jax.Array:
-    """Same-padding 3x3 conv (NCHW): Pallas forward, lax derivatives of any
-    order (safe inside the WGAN-GP double backward)."""
-    return conv3x3_small_c(x_nchw, w_hwio)
-
-
-def _conv3x3_ho_jvp(primals, tangents):
-    # All tangents via lax: transposable and differentiable to any order.
-    # (A Pallas dx here needs a full custom primitive with jvp+transpose
-    # rules — jax.custom_derivatives.linear_call cannot carry the residual
-    # (weight) tangents the WGAN-GP outer grad requires. Round-2 item.)
-    x, w = primals
-    tx, tw = tangents
-    y = conv3x3_ho(x, w)  # stays wrapped under nested traces
-    ty = jnp.zeros_like(y)
-    if not isinstance(tx, jax.custom_derivatives.SymbolicZero):
-        ty = ty + _lax_conv(tx, w)
-    if not isinstance(tw, jax.custom_derivatives.SymbolicZero):
-        ty = ty + _lax_conv(x, tw)
-    return y, ty
-
-
-conv3x3_ho.defjvp(_conv3x3_ho_jvp, symbolic_zeros=True)

@@ -144,6 +144,44 @@ def istft_jax(S: jax.Array, hop_length: int, center: bool = True,
     return x
 
 
+@partial(jax.jit,
+         static_argnames=("n_fft", "hop_length", "img_mode", "range_in"))
+def sound_images_jax(signals: jax.Array, n_fft: int, hop_length: int,
+                     img_mode: str, range_in=(0, 255)) -> jax.Array:
+    """Batched on-device spectrogram-image extraction: (F, L) float32
+    signals -> (F, n_fft//2, n_fft//2) uint8 images, ONE XLA program for all
+    files (vmapped STFT -> crop -> log transform -> per-file dynamic-range
+    normalization). Device replacement for the reference's per-file librosa
+    CPU path (dataset.py:293-299); semantics match ``stft_np`` +
+    ``SoundImageDataset.load_file``'s host math.
+    """
+    if img_mode not in ("abslog", "reallog"):
+        raise ValueError(f"unknown img_mode: {img_mode!r}")
+    lo_out, hi_out = range_in
+
+    def one(sig):
+        S = stft_jax(sig, n_fft, hop_length)
+        S = S[:n_fft // 2, :n_fft // 2]
+        if img_mode == "abslog":
+            img = jnp.log1p(jnp.abs(S))
+        else:  # signed log of the real part (reference dataset.py:298)
+            img = jnp.log1p(jnp.abs(S.real)) * jnp.sign(S.real)
+        lo, hi = img.min(), img.max()
+        scale = (hi_out - lo_out) / jnp.maximum(hi - lo, 1e-20)
+        return (img - lo) * scale + lo_out
+
+    imgs = jax.vmap(one)(signals.astype(jnp.float32))
+    # host path applies np.uint8(...) — truncation, not rounding
+    return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
+
+
+def sound_image_signal_length(n_fft: int, hop_length: int) -> int:
+    """Samples needed so the cropped n_fft//2-frame window sees only real
+    samples (no end-reflection bleed): frames 0..n_fft//2-1 of a centered
+    STFT cover ``(n_fft//2 - 1) * hop + n_fft//2`` pre-padding samples."""
+    return (n_fft // 2 - 1) * hop_length + n_fft // 2
+
+
 @partial(jax.jit, static_argnames=("n_iter", "hop_length", "n_fft"))
 def _griffin_lim_jitted(mag: jax.Array, x0: jax.Array, n_iter: int,
                         hop_length: int, n_fft: int) -> jax.Array:

@@ -94,6 +94,37 @@ def make_global_batch(local_array, mesh: Mesh, axis_name: str = "data",
         sharding, local_array, tuple(global_shape))
 
 
+def fit_minibatch_to_mesh(minibatch_default: int, minibatch_overrides,
+                          mesh: Mesh, axis_name: str = "data"):
+    """Device-count-aware per-depth global-batch policy for pod meshes.
+
+    The reference's per-depth minibatches (16 default; {6:14, 7:6, 8:3} for
+    the 1024px config, reference plugins.py:19-20) don't divide a 16- or
+    64-device mesh. Rather than failing, round each global batch UP to the
+    nearest multiple of the data-axis size: never below the reference batch
+    (so gradient noise doesn't increase), and every device stays busy. The
+    LR implication — Adam's effective step per image shrinks as the batch
+    grows — is opt-in linear scaling via ``--scale_lr_with_batch`` (the
+    reference itself never scales LR with batch, so default off).
+
+    Returns ``(default', overrides', changed)`` where ``changed`` maps depth
+    (-1 for the default) to ``(old, new)`` for logging.
+    """
+    n = mesh.shape[axis_name]
+
+    def up(b):
+        return ((int(b) + n - 1) // n) * n
+
+    overrides = dict(minibatch_overrides or {})
+    new_default = up(minibatch_default)
+    new_overrides = {d: up(b) for d, b in overrides.items()}
+    changed = {d: (overrides[d], b) for d, b in new_overrides.items()
+               if b != overrides[d]}
+    if new_default != minibatch_default:
+        changed[-1] = (minibatch_default, new_default)
+    return new_default, new_overrides, changed
+
+
 def check_batch_divisible(batch_size: int, mesh: Mesh,
                           axis_name: str = "data") -> None:
     n = mesh.shape[axis_name]

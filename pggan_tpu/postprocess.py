@@ -41,29 +41,29 @@ class ImageSaver(Postprocessor):
         self.drange = tuple(drange)
 
     def create_image_grid(self, images: np.ndarray) -> np.ndarray:
+        """Row-major square-ish tiling, vectorized: pad the batch to a full
+        rows x cols rectangle of zero tiles, then a single reshape/transpose
+        assembles the mosaic (no per-image copy loop)."""
         count, channels, img_h, img_w = images.shape
-        grid_w = max(int(np.ceil(np.sqrt(count))), 1)
-        grid_h = max((count - 1) // grid_w + 1, 1)
-        grid = np.zeros((channels, grid_h * img_h, grid_w * img_w),
-                        images.dtype)
-        for i in range(count):
-            x = (i % grid_w) * img_w
-            y = (i // grid_w) * img_h
-            grid[:, y:y + img_h, x:x + img_w] = images[i]
-        return grid
+        cols = max(int(np.ceil(np.sqrt(count))), 1)
+        rows = -(-count // cols)
+        missing = rows * cols - count
+        if missing:
+            images = np.concatenate(
+                [images, np.zeros((missing,) + images.shape[1:],
+                                  images.dtype)])
+        tiles = images.reshape(rows, cols, channels, img_h, img_w)
+        return tiles.transpose(2, 0, 3, 1, 4).reshape(
+            channels, rows * img_h, cols * img_w)
 
     def convert_to_pil_image(self, image: np.ndarray):
         import PIL.Image
-        fmt = "RGB"
-        if image.ndim == 3:
-            if image.shape[0] == 1:
-                image = image[0]
-                fmt = "L"
-            else:
-                image = image.transpose(1, 2, 0)
-        image = adjust_dynamic_range(image, self.drange, (0, 255))
-        image = image.round().clip(0, 255).astype(np.uint8)
-        return PIL.Image.fromarray(image, fmt)
+        arr = np.asarray(image)
+        if arr.ndim == 3:  # (C, H, W): single channel -> 2-D, else HWC
+            arr = arr[0] if arr.shape[0] == 1 else np.moveaxis(arr, 0, -1)
+        arr = adjust_dynamic_range(arr, self.drange, (0, 255))
+        arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        return PIL.Image.fromarray(arr, "L" if arr.ndim == 2 else "RGB")
 
     def __call__(self, output: np.ndarray, description):
         # Upsample small outputs to the display resolution; once generated
@@ -74,10 +74,10 @@ class ImageSaver(Postprocessor):
                 and self.resolution % output.shape[-1] == 0:
             output = numpy_upsample_nearest(output, 2, size=self.resolution)
         im = self.convert_to_pil_image(self.create_image_grid(output))
-        fname = self.output_file_format
-        if isinstance(description, int):
-            fname = fname.format("{:06}")
-        im.save(os.path.join(self.samples_path, fname.format(description)))
+        desc = (f"{description:06}" if isinstance(description, int)
+                else str(description))
+        im.save(os.path.join(self.samples_path,
+                             self.output_file_format.format(desc)))
 
 
 class SoundSaver(Postprocessor):
@@ -120,40 +120,48 @@ class SoundSaver(Postprocessor):
         return griffin_lim_np(stft_mag, self.griffin_lim_iter,
                               self.hop_length, verbose=self.verbose)
 
+    def _pad_top_bin(self, image: np.ndarray) -> np.ndarray:
+        """Real spectrograms have 2**i + 1 frequency bins; the square model
+        output dropped the top one — restore it as zeros (reference
+        output_postprocess.py:109-111)."""
+        return np.pad(np.asarray(image, np.float32), ((0, 1), (0, 0)))
+
+    def _signal_reallog(self, image: np.ndarray) -> np.ndarray:
+        # invert the signed-log real-part encoding: sgn(x) * (e^|x| - 1)
+        from pggan_tpu.ops.stft import istft_np
+        signed = adjust_dynamic_range(self._pad_top_bin(image),
+                                      self.drange, (-1, 1))
+        real_part = np.sign(signed) * np.expm1(np.abs(signed))
+        return istft_np(real_part.astype(np.complex64), self.hop_length)
+
+    def _signal_abslog(self, image: np.ndarray) -> np.ndarray:
+        mag = adjust_dynamic_range(self._pad_top_bin(image),
+                                   self.drange, (0, 255))
+        return self.reconstruct_from_magnitude(mag)
+
     def image_to_sound(self, image: np.ndarray) -> np.ndarray:
-        if self.mode in ("reallog", "abslog"):
-            x = np.zeros((image.shape[0] + 1, image.shape[1]), np.float32)
-            x[:image.shape[0], :image.shape[1]] = image
-            if self.mode == "reallog":
-                from pggan_tpu.ops.stft import istft_np
-                signed = adjust_dynamic_range(x, self.drange, (-1, 1))
-                sgn = np.sign(signed)
-                real_pt_stft = (np.exp(np.abs(signed)) - 1) * sgn
-                signal = istft_np(real_pt_stft.astype(np.complex64),
-                                  self.hop_length)
-            else:
-                x = adjust_dynamic_range(x, self.drange, (0, 255))
-                signal = self.reconstruct_from_magnitude(x)
-        elif self.mode == "raw":
-            signal = image.ravel()
-        else:
+        modes = {
+            "reallog": self._signal_reallog,
+            "abslog": self._signal_abslog,
+            "raw": lambda im: np.asarray(im, np.float32).ravel(),
+        }
+        if self.mode not in modes:
             raise ValueError(
                 f"unrecognized mode: {self.mode}. "
                 "Available modes are: reallog, abslog, raw.")
+        signal = np.asarray(modes[self.mode](image))
         peak = np.abs(signal).max()
         return signal / peak if peak > 0 else signal
 
     def output_wav(self, signal: np.ndarray, samples_description, ith: int):
         from pggan_tpu.data.audio_io import write_wav
-        fname = self.output_file_format
-        if isinstance(samples_description, int):
-            fname = fname.format("{:06}", "{:02}")
-        else:
-            fname = fname.format("{}", "{:02}")
+        desc = (f"{samples_description:06}"
+                if isinstance(samples_description, int)
+                else str(samples_description))
+        path = os.path.join(self.samples_path,
+                            self.output_file_format.format(desc, f"{ith:02}"))
         try:
-            write_wav(os.path.join(self.samples_path,
-                                   fname.format(samples_description, ith)),
-                      signal, self.sample_rate, norm=True)
+            write_wav(path, signal, self.sample_rate, norm=True)
         except Exception as e:
             err = os.path.join(self.samples_path,
                                f"error_{samples_description}_{ith}.txt")

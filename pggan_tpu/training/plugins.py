@@ -66,8 +66,15 @@ class DepthManager(Plugin):
                  lod_transition_nimg=schedule.LOD_TRANSITION_NIMG,
                  max_lod=None,
                  depth_offset=None,
-                 precompile_ahead=False):
+                 precompile_ahead=False,
+                 lr_reference_minibatch=None):
         super().__init__([(1, "iteration")])
+        # When the pod batch policy rounded the per-depth batches up
+        # (parallel/mesh.py fit_minibatch_to_mesh) and the user opted into
+        # --scale_lr_with_batch, this holds the pre-policy reference batches
+        # {"default": int, "overrides": {depth: int}}; the stage change then
+        # sets trainer.lr_scale = actual/reference, consumed by LRScheduler.
+        self.lr_reference_minibatch = lr_reference_minibatch
         # Background AOT warmup of the upcoming stage's programs. Off by
         # default: it overlaps compiles with training on hosts where XLA
         # compiles locally (multi-threaded), but on serialized remote-compile
@@ -166,6 +173,10 @@ class DepthManager(Plugin):
             tick_kimg = self.tick_kimg_overrides.get(depth, self.tick_kimg_default)
             trainer.tick_duration_nimg = tick_kimg * 1000
             trainer.stats["minibatch_size"] = minibatch_size
+            if self.lr_reference_minibatch is not None:
+                ref = self.lr_reference_minibatch
+                ref_mb = ref["overrides"].get(depth, ref["default"])
+                trainer.lr_scale = minibatch_size / ref_mb
             if self.precompile_ahead:
                 self._precompile_upcoming(depth, minibatch_size)
         if alpha != self.alpha:
@@ -196,8 +207,11 @@ class LRScheduler(Plugin):
 
     def iteration(self, *args):
         ramp = lr_rampup(self.trainer.cur_nimg, self.rampup_kimg)
-        self.trainer.lr_d = self.lr_max_d * ramp
-        self.trainer.lr_g = self.lr_max_g * ramp
+        # lr_scale: linear batch scaling set by DepthManager when the pod
+        # batch policy grew a stage's global batch (opt-in, default 1.0)
+        scale = getattr(self.trainer, "lr_scale", 1.0)
+        self.trainer.lr_d = self.lr_max_d * ramp * scale
+        self.trainer.lr_g = self.lr_max_g * ramp * scale
 
 
 class EfficientLossMonitor(Plugin):
@@ -300,9 +314,14 @@ class SaverPlugin(Plugin):
             written.append(path)
         state_path = os.path.join(self.checkpoints_path,
                                   self.state_pattern.format(kimg))
+        # cumulative training wall-clock (the "time" stat is kept current by
+        # AbsoluteTimeMonitor, registered ahead of the saver): restored into
+        # AbsoluteTimeMonitor(base_time) on resume for a continuous clock
+        t = trainer.stats.get("time")
+        base_time = t.total_seconds() if hasattr(t, "total_seconds") else 0.0
         save_training_state(
             state_path, trainer.state, trainer.cur_nimg, trainer.iterations,
-            float(trainer.stats.get("sec", {}).get("tick", 0.0)))
+            base_time)
         written.append(state_path)
         if not self.keep_old_checkpoints:
             self._clear(self.last_pattern.format("*", "*"), keep=written)

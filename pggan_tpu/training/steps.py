@@ -56,6 +56,14 @@ class TrainStepBuilder:
         self.iwass_target = float(iwass_target)
         self.mesh = mesh
         self.batch_axis = batch_axis
+        if mesh is not None:
+            # Pallas heads/tails must know the mesh: pallas_call is opaque
+            # to GSPMD, so the models wrap their NCHW subgraphs in shard_map
+            # over the batch axis (ops/nchw.py shard_map_batch).
+            D.mesh = mesh
+            D.batch_axis = batch_axis
+            G.mesh = mesh
+            G.batch_axis = batch_axis
         self._step_cache: dict[tuple[int, int], Callable] = {}
         self._sample_cache: dict[int, Callable] = {}
 

@@ -65,56 +65,61 @@ class Trainer:
         self.minibatch_size = None
         self.lr_d = 0.0
         self.lr_g = 0.0
-        self.stats = {
-            "kimg_stat": {"val": self.cur_nimg / 1000.0,
-                          "log_epoch_fields": ["{val:8.3f}"],
-                          "log_name": "kimg"},
-            "tick_stat": {"val": self.cur_tick,
-                          "log_epoch_fields": ["{val:5}"],
-                          "log_name": "tick"},
-        }
-        self.plugin_queues = {"iteration": [], "epoch": [], "s": [], "end": []}
+        self.lr_scale = 1.0  # pod batch policy's opt-in LR scaling
+        self.stats = {}
+        self._register_stat("kimg_stat", self.cur_nimg / 1000.0,
+                            "{val:8.3f}", "kimg")
+        self._register_stat("tick_stat", self.cur_tick, "{val:5}", "tick")
+        self.plugin_queues = {q: [] for q in ("iteration", "epoch", "s", "end")}
 
-    # -- plugin scheduler (reference trainer.py:47-69) ----------------------
+    def _register_stat(self, key, val, fmt, name):
+        self.stats[key] = {"val": val, "log_epoch_fields": [fmt],
+                           "log_name": name}
+
+    # -- plugin scheduler -----------------------------------------------------
+    # Queue semantics are the reference contract (trainer.py:40-69): a plugin
+    # declares ``trigger_interval`` entries ``(interval, unit)`` with unit one
+    # of iteration|epoch|s|end; each unit's queue is a min-heap keyed by the
+    # next due time, and when a queue is drained at time T every due plugin's
+    # method named after the unit is called and rescheduled at T + interval.
+    # Unlike the reference, the interval travels IN the heap entry — looking
+    # it up from ``plugin.trigger_interval`` at drain time breaks for plugins
+    # registered on several queues or declaring a bare (interval, unit) tuple.
+
     def register_plugin(self, plugin):
         plugin.register(self)
-        intervals = plugin.trigger_interval
-        if not isinstance(intervals, list):
-            intervals = [intervals]
-        for duration, unit in intervals:
+        triggers = plugin.trigger_interval
+        if not isinstance(triggers, list):
+            triggers = [triggers]
+        for interval, unit in triggers:
             queue = self.plugin_queues[unit]
-            queue.append((duration, len(queue), plugin))
+            # serial = registration order: deterministic tie-break, and keeps
+            # plugin objects (unorderable) out of the heap comparison
+            heapq.heappush(queue, (interval, len(queue), interval, plugin))
 
     def call_plugins(self, queue_name, time, *args):
-        args = (time,) + args
         queue = self.plugin_queues[queue_name]
-        if len(queue) == 0:
-            return
-        while queue[0][0] <= time:
-            plugin = queue[0][2]
-            getattr(plugin, queue_name)(*args)
-            interval = None
-            for trigger in plugin.trigger_interval:
-                if trigger[1] == queue_name:
-                    interval = trigger[0]
-            new_item = (time + interval, queue[0][1], plugin)
-            heapq.heappushpop(queue, new_item)
+        while queue and queue[0][0] <= time:
+            _, serial, interval, plugin = heapq.heappop(queue)
+            getattr(plugin, queue_name)(time, *args)
+            heapq.heappush(queue, (time + interval, serial, interval, plugin))
 
-    # -- run loop (reference trainer.py:71-83) ------------------------------
+    # -- run loop (reference trainer.py:71-83 semantics) ---------------------
     def run(self, total_kimg=1):
-        for q in self.plugin_queues.values():
-            heapq.heapify(q)
-
-        while self.cur_nimg < total_kimg * 1000:
+        total_nimg = total_kimg * 1000
+        while self.cur_nimg < total_nimg:
             self.train()
             if (self.cur_nimg >= self.tick_start_nimg + self.tick_duration_nimg
-                    or self.cur_nimg >= total_kimg * 1000):
-                self.cur_tick += 1
-                self.tick_start_nimg = self.cur_nimg
-                self.stats["kimg_stat"]["val"] = self.cur_nimg / 1000.0
-                self.stats["tick_stat"]["val"] = self.cur_tick
-                self.call_plugins("epoch", self.cur_tick)
+                    or self.cur_nimg >= total_nimg):
+                self._rollover_tick()
         self.call_plugins("end", 1)
+
+    def _rollover_tick(self):
+        self.cur_tick += 1
+        self.tick_start_nimg = self.cur_nimg
+        self.stats["kimg_stat"]["val"] = self.cur_nimg / 1000.0
+        self.stats["tick_stat"]["val"] = self.cur_tick
+        self.call_plugins("epoch", self.cur_tick)
 
     # -- hot loop (reference trainer.py:85-115, fused) ----------------------
     def train(self):

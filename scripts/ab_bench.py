@@ -8,7 +8,8 @@ reported numbers are the mean of the remaining rounds. Only same-process
 interleaved comparisons are meaningful.
 
 Usage: ab_bench.py CONFIG [CONFIG ...] where CONFIG is
-``name:depth,batch[,dtype[,fused[,fade]]]`` e.g. ``f32:5,16`` ``bf16:5,16,bfloat16``.
+``name:depth,batch[,dtype[,fused[,fade[,pallas]]]]`` e.g. ``f32:5,16``
+``bf16:5,16,bfloat16`` ``noplas:8,3,float32,true,false,false``.
 """
 
 import sys
@@ -17,7 +18,7 @@ import time
 import numpy as np
 
 
-def build(depth, batch, dtype="float32", fused=True):
+def build(depth, batch, dtype="float32", fused=True, pallas=True):
     import jax
     from pggan_tpu.models import Discriminator, Generator
     from pggan_tpu.training.state import init_state, make_optimizer
@@ -25,7 +26,8 @@ def build(depth, batch, dtype="float32", fused=True):
 
     shape = (1, 3, 1024, 1024)
     G = Generator(shape, compute_dtype=dtype, fused_scale=fused)
-    D = Discriminator(shape, compute_dtype=dtype, fused_scale=fused)
+    D = Discriminator(shape, compute_dtype=dtype, fused_scale=fused,
+                      pallas_tail=pallas)
     opt = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     state = init_state(G.init(ks[0]), D.init(ks[1]), opt, ks[2])
@@ -42,13 +44,13 @@ def measure(entries, iters=40, rounds=3):
     results = {name: [] for name, *_ in entries}
     states = {}
     steps = {}
-    for name, depth, batch, dtype, fused, fade in entries:
-        b, state, reals = build(depth, batch, dtype, fused)
+    for name, depth, batch, dtype, fused, fade, pallas in entries:
+        b, state, reals = build(depth, batch, dtype, fused, pallas)
         steps[name] = (b.step_fn(depth, batch, fade), reals)
         states[name] = state
     # compile + flush pipeline (data fetch is the only reliable sync:
     # block_until_ready returns before remote execution completes)
-    for name, _, _, _, _, _ in entries:
+    for name, *_ in entries:
         step, reals = steps[name]
         for _ in range(3):
             states[name], m = step(states[name], reals, alpha, lr, lr)
@@ -81,7 +83,8 @@ def parse(cfg):
     dtype = parts[2] if len(parts) > 2 else "float32"
     fused = parts[3].lower() != "false" if len(parts) > 3 else True
     fade = parts[4].lower() == "true" if len(parts) > 4 else False
-    return (name, depth, batch, dtype, fused, fade)
+    pallas = parts[5].lower() != "false" if len(parts) > 5 else True
+    return (name, depth, batch, dtype, fused, fade, pallas)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,14 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent XLA compile cache: the interpret-mode Pallas tests trace large
+# unrolled graphs whose CPU compiles dominate the suite runtime; caching them
+# makes repeat runs fast. Safe to delete at any time.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU, got " + jax.default_backend()
 )

@@ -154,6 +154,30 @@ def test_sound_dataset_reallog(tmp_path):
     assert ds.shape == (1, 1, 32, 32)
 
 
+@pytest.mark.parametrize("mode", ["abslog", "reallog"])
+def test_sound_preload_device_matches_host(tmp_path, mode):
+    """The batched on-device preload extraction must reproduce the per-file
+    host STFT path (the parity reference) up to uint8 quantization: the host
+    FFT runs in float64, so allow +-1 level on a small fraction of pixels."""
+    _write_wavs(str(tmp_path), n=2, num_samples=6000)
+    ds = SoundImageDataset(str(tmp_path), img_mode=mode, n_fft=64,
+                           hop_length=16, preload=True)
+    device = ds.data[ds.max_dataset_depth]
+    host = np.stack([ds.load_file(i) for i in range(2)])
+    diff = np.abs(device.astype(np.int16) - host.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.98
+
+
+def test_sound_preload_short_file_falls_back_to_host(tmp_path):
+    # 300 samples < the 32-frame crop window at hop 64 -> host path
+    _write_wavs(str(tmp_path), n=1, num_samples=3000)
+    ds = SoundImageDataset(str(tmp_path), img_mode="abslog", n_fft=128,
+                           hop_length=64, preload=True)
+    host = ds.load_file(0)
+    np.testing.assert_array_equal(ds.data[ds.max_dataset_depth][0], host)
+
+
 def test_infinite_sampler_covers_all():
     s = InfiniteRandomSampler(10, seed=0)
     seen = {next(s) for _ in range(50)}

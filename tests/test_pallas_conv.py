@@ -47,31 +47,27 @@ def test_edge_zero_padding_semantics():
     assert got[4, 64] == pytest.approx(18.0)  # interior: 9 taps x 2 channels
 
 
-def test_custom_vjp_matches_lax(monkeypatch):
+def test_primitive_first_order_matches_lax():
+    """d/dx runs on the Pallas kernel (transpose rule), d/dw on the XLA
+    dw-conv formulation — both must equal the plain lax conv's grads."""
     import pggan_tpu.ops.pallas_conv as pc
-    orig = pc.conv3x3_small_c
-    monkeypatch.setattr(pc, "conv3x3_small_c",
-                        lambda x, w: orig(x, w, interpret=True))
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 4, 16, 128).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
 
-    def loss_p(x, w):
-        return jnp.sum(jnp.sin(pc.conv3x3(x, w)))
-
-    def loss_r(x, w):
-        return jnp.sum(jnp.sin(pc._lax_conv(x, w)))
-
-    gp = jax.grad(loss_p, argnums=(0, 1))(x, w)
-    gr = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    gp = jax.grad(lambda x, w: jnp.sum(jnp.sin(pc.conv3x3(x, w))),
+                  argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda x, w: jnp.sum(jnp.sin(pc._lax_conv(x, w))),
+                  argnums=(0, 1))(x, w)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
 
 
-def test_ho_wrapper_grad_of_grad_matches_lax():
-    """conv3x3_ho must survive reverse-over-reverse (the WGAN-GP pattern)
-    with gradients equal to pure-lax."""
+def test_primitive_grad_of_grad_matches_lax():
+    """The primitive must survive reverse-over-reverse (the WGAN-GP pattern)
+    with gradients equal to pure-lax — this is what round 1's custom_vjp
+    wrapper could not do without falling back to lax derivatives."""
     import pggan_tpu.ops.pallas_conv as pc
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 4, 8, 128).astype(np.float32))
@@ -81,10 +77,31 @@ def test_ho_wrapper_grad_of_grad_matches_lax():
         gx = jax.grad(lambda xx: jnp.sum(fn(xx, ww)))(x)
         return jnp.sum(jnp.square(gx))
 
-    o1 = jax.grad(lambda w_: gp_like(pc.conv3x3_ho, w_))(w)
+    o1 = jax.grad(lambda w_: gp_like(pc.conv3x3, w_))(w)
     o2 = jax.grad(lambda w_: gp_like(pc._lax_conv, w_))(w)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_primitive_third_order_and_vmap():
+    import pggan_tpu.ops.pallas_conv as pc
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 3, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+
+    def gp2(conv, ww):
+        gx = jax.grad(lambda xx: jnp.sum(jnp.tanh(conv(xx, ww))))(x)
+        return jnp.sum(jnp.square(gx))
+
+    o1 = jax.grad(jax.grad(lambda s: gp2(pc.conv3x3, w * s)))(jnp.float32(1.))
+    o2 = jax.grad(jax.grad(lambda s: gp2(pc._lax_conv, w * s)))(jnp.float32(1.))
+    np.testing.assert_allclose(float(o1), float(o2), rtol=1e-3)
+
+    xv = jnp.asarray(rng.randn(2, 2, 3, 8, 128).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda xx: pc.conv3x3(xx, w))(xv)),
+        np.asarray(jax.vmap(lambda xx: pc._lax_conv(xx, w))(xv)),
+        rtol=1e-4, atol=1e-4)
 
 
 def test_discriminator_pallas_tail_matches_reference_path():
@@ -95,15 +112,15 @@ def test_discriminator_pallas_tail_matches_reference_path():
 
     shape = (8, 3, 128, 128)
     d_p = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
-    d_p._pallas_min_res = 128
-    d_r = Discriminator(shape, fmap_base=128, fmap_max=32)
+    d_r = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=False)
     g = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
     dp, gp = d_p.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
-    assert d_p._use_pallas_entry(5)
+    assert d_p._pallas_span(5) == 1  # only the 128px entry is lane-aligned
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
     np.testing.assert_allclose(
-        np.asarray(d_p.apply(dp, x, 5, 0.4)),
-        np.asarray(d_r.apply(dp, x, 5, 0.4)), rtol=1e-4, atol=1e-5)
+        np.asarray(jax.jit(lambda p, v: d_p.apply(p, v, 5, 0.4))(dp, x)),
+        np.asarray(jax.jit(lambda p, v: d_r.apply(p, v, 5, 0.4))(dp, x)),
+        rtol=1e-4, atol=1e-5)
 
     z = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
 
@@ -113,9 +130,116 @@ def test_discriminator_pallas_tail_matches_reference_path():
                               params, gp, x, z, jax.random.PRNGKey(4))
         return c
 
-    g1 = jax.grad(lambda p: dloss(d_p, p))(dp)
-    g2 = jax.grad(lambda p: dloss(d_r, p))(dp)
+    g1 = jax.jit(jax.grad(lambda p: dloss(d_p, p)))(dp)
+    g2 = jax.jit(jax.grad(lambda p: dloss(d_r, p)))(dp)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_generator_pallas_tail_matches_reference_path():
+    """The G high-res NCHW tail (explicit upsample + Pallas convs + toRGB +
+    blend) must match the fused-scale NHWC path in values (fade and stable)
+    and in G-loss gradients (first-order through the frozen D)."""
+    from pggan_tpu.losses import wgan_gp_G_loss
+    from pggan_tpu.models import Discriminator, Generator
+
+    shape = (8, 3, 128, 128)
+    g_p = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
+    g_r = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32,
+                    pallas_tail=False)
+    d = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=False)
+    gp, dp = g_p.init(jax.random.PRNGKey(0)), d.init(jax.random.PRNGKey(1))
+    assert g_p._pallas_tail_start(5) is not None
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    for fade, alpha in ((True, 0.4), (False, 1.0)):
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(
+                lambda p, zz: g_p.apply(p, zz, 5, alpha, fade))(gp, z)),
+            np.asarray(jax.jit(
+                lambda p, zz: g_r.apply(p, zz, 5, alpha, fade))(gp, z)),
+            # fused-scale vs explicit-upsample reassociate float sums
+            rtol=2e-4, atol=1e-4)
+
+    def gloss(model, params):
+        return wgan_gp_G_loss(lambda p, zz: model.apply(p, zz, 5, 0.5),
+                              lambda p, xx: d.apply(p, xx, 5, 0.5),
+                              params, dp, z)
+
+    g1 = jax.jit(jax.grad(lambda p: gloss(g_p, p)))(gp)
+    g2 = jax.jit(jax.grad(lambda p: gloss(g_r, p)))(gp)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_multi_stage_span_matches_reference_path():
+    """At 256px the head covers entry@256 + DBlock@128 (span 2); values and
+    WGAN-GP parameter gradients must match the NHWC path."""
+    from pggan_tpu.losses import wgan_gp_D_loss
+    from pggan_tpu.models import Discriminator, Generator
+
+    shape = (8, 3, 256, 256)
+    d_p = Discriminator(shape, fmap_base=256, fmap_max=64, pallas_tail=True)
+    d_r = Discriminator(shape, fmap_base=256, fmap_max=64, pallas_tail=False)
+    g = Generator(shape, latent_size=16, fmap_base=256, fmap_max=64)
+    dp, gp = d_p.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
+    assert d_p._pallas_span(6) == 2
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 256, 3))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda p, v: d_p.apply(p, v, 6, 0.4))(dp, x)),
+        np.asarray(jax.jit(lambda p, v: d_r.apply(p, v, 6, 0.4))(dp, x)),
+        rtol=1e-4, atol=1e-5)
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 16))
+
+    def dloss(model, params):
+        c, _ = wgan_gp_D_loss(lambda p, xx: model.apply(p, xx, 6, 0.5),
+                              lambda p, zz: g.apply(p, zz, 6, 0.5),
+                              params, gp, x, z, jax.random.PRNGKey(4))
+        return c
+
+    g1 = jax.jit(jax.grad(lambda p: dloss(d_p, p)))(dp)
+    g2 = jax.jit(jax.grad(lambda p: dloss(d_r, p)))(dp)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_head_matches_unsharded():
+    """With a mesh set, the head runs under shard_map over the batch axis
+    (pallas_call is opaque to GSPMD); sharded values and full WGAN-GP
+    gradients must equal the single-device result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pggan_tpu.losses import wgan_gp_D_loss
+    from pggan_tpu.models import Discriminator, Generator
+
+    shape = (8, 3, 128, 128)
+    d_s = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
+    d_1 = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
+    g = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
+    dp, gp = d_s.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    d_s.mesh = mesh
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 3))
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 16))
+
+    def dloss(model, params, xx):
+        c, _ = wgan_gp_D_loss(lambda p, v: model.apply(p, v, 5, 0.5),
+                              lambda p, zz: g.apply(p, zz, 5, 0.5),
+                              params, gp, xx, z, jax.random.PRNGKey(4))
+        return c
+
+    grad_s = jax.jit(jax.grad(lambda p, xx: dloss(d_s, p, xx)),
+                     in_shardings=(NamedSharding(mesh, P()),
+                                   NamedSharding(mesh, P("data"))))
+    g1 = grad_s(dp, x)
+    g2 = jax.jit(jax.grad(lambda p: dloss(d_1, p, x)))(dp)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        # atol 1e-4: the cross-shard psum reassociates float sums
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

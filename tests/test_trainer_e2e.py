@@ -157,7 +157,9 @@ def test_snapshot_roundtrip(run_dir):
 def test_resume_restores_schedule_position(run_dir, tmp_path):
     run_path, trainer = run_dir
     state_path = glob.glob(str(run_path / "training-state-*.dat"))[0]
-    state, cur_nimg, iterations = load_training_state(state_path)
+    state, cur_nimg, iterations, base_time = load_training_state(state_path)
+    # cumulative wall-clock persisted for AbsoluteTimeMonitor continuity
+    assert base_time > 0.0
     assert cur_nimg == trainer.cur_nimg
     dataset = SyntheticDataset(resolution=RES, num_channels=1, num_items=32)
     trainer2, _, _ = build_trainer(tmp_path, dataset, resume_nimg=cur_nimg,
