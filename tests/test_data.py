@@ -170,8 +170,14 @@ def test_sound_preload_device_matches_host(tmp_path, mode):
 
 
 def test_sound_preload_short_file_falls_back_to_host(tmp_path):
-    # 300 samples < the 32-frame crop window at hop 64 -> host path
-    _write_wavs(str(tmp_path), n=1, num_samples=3000)
+    # 4032 samples: enough for the 64 centered frames of a square image
+    # (so the host path still builds a valid pyramid) but short of the
+    # 4096-sample no-end-reflection window the device path requires
+    # (ops/stft.py sound_image_signal_length) -> preload must fall back
+    # to the per-file host STFT. Genuinely-too-short files crash at
+    # pyramid build exactly like the reference (dataset.py:293-296 +
+    # its phase-strided downsample) — that parity is intentional.
+    _write_wavs(str(tmp_path), n=1, num_samples=4032)
     ds = SoundImageDataset(str(tmp_path), img_mode="abslog", n_fft=128,
                            hop_length=64, preload=True)
     host = ds.load_file(0)
