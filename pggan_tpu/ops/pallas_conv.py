@@ -54,26 +54,87 @@ def _default_interpret() -> bool:
         return True
 
 
-def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W):
+def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, T, TH, H, W):
+    """DMA the halo window rows [t*TH - 1, t*TH + TH + 1) of image ``n``
+    into ``slab`` so that slab row ``s`` holds global row ``t*TH - 8 + s``
+    and slab column ``128 + j`` holds global column ``j`` — entirely from
+    the UNPADDED input. Materializing a zero-padded copy in HBM (round 1's
+    approach) reads + writes the whole tensor once more per conv call,
+    which profiled at ~5-6% of the depth-8 train step; here the halo is
+    assembled in VMEM instead.
+
+    Alignment: DMAs keep 8-row-aligned starts/sizes by over-fetching to
+    [t*TH - 8, t*TH + TH + 8), clamped at the image edges with statically
+    sized per-branch copies (Mosaic wants aligned slices; sizes must be
+    static). The out-of-image halo rows (7 at the top edge, TH+8 at the
+    bottom) are zeroed; halo columns 127 and 128+W are never DMA'd and
+    stay zero from the one-time full-slab zero at the first grid step.
+    """
+    first = jnp.logical_and(n == 0, t == 0)
+
+    @pl.when(first)
+    def _():
+        slab[...] = jnp.zeros_like(slab)
+
+    def dma(src_lo, rows, dst_lo):
+        # src_lo is always a multiple of 8 (t*TH - 8 with TH % 8 == 0), but
+        # Mosaic cannot prove it for a dynamic expression — hint it.
+        return pltpu.make_async_copy(
+            x_hbm.at[n, :, pl.ds(pl.multiple_of(src_lo, 8), rows), :],
+            slab.at[:, pl.ds(dst_lo, rows), pl.ds(128, W)], sem)
+
+    if T == 1:
+        d = dma(0, H, 8)
+        d.start()
+        d.wait()
+    else:
+        @pl.when(t == 0)
+        def _():
+            d = dma(0, TH + 8, 8)
+            d.start()
+            d.wait()
+
+        if T > 2:
+            @pl.when(jnp.logical_and(t > 0, t < T - 1))
+            def _():
+                d = dma(t * TH - 8, TH + 16, 0)
+                d.start()
+                d.wait()
+
+        @pl.when(t == T - 1)
+        def _():
+            d = dma((T - 1) * TH - 8, TH + 8, 0)
+            d.start()
+            d.wait()
+
+    # zero-pad rows: global row -1 (slab row 7) at the top edge, global row
+    # H (slab row TH+8) at the bottom. Middle blocks DMA real data over both.
+    @pl.when(t == 0)
+    def _():
+        slab[:, 7:8, :] = jnp.zeros_like(slab[:, 7:8, :])
+
+    @pl.when(t == T - 1)
+    def _():
+        slab[:, TH + 8:TH + 9, :] = jnp.zeros_like(slab[:, TH + 8:TH + 9, :])
+
+
+def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H):
     n = pl.program_id(0)
     t = pl.program_id(1)
-    # fetch rows [t*TH, t*TH + TH + 8) of the padded input: covers the
-    # [t*TH, t*TH + TH + 2) halo window with an 8-row alignment over-fetch
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, :, pl.ds(t * TH, TH + 8), :], slab, sem)
-    dma.start()
-    dma.wait()
+    _fetch_halo_slab(x_hbm, slab, sem, n, t, T=H // TH, TH=TH, H=H, W=W)
 
     # Per output row: nine accumulated MXU dots, one per 3x3 tap — all
     # operands are plain 2D slices. (Mosaic supports neither the
     # (C, TH, W) -> (C, TH*W) sublane/lane-merging reshape nor concatenation
     # of slices with differing lane offsets, so the im2col formulation is
-    # expressed as a tap-sum instead.)
+    # expressed as a tap-sum instead.) Slab row r+7+u holds global row
+    # t*TH + r + (u-1); slab column 127+v+j holds global column j + (v-1).
     for r in range(TH):
         acc = jnp.zeros((K, W), jnp.float32)
         for i, (u, v) in enumerate((u, v) for u in range(3)
                                    for v in range(3)):
-            acc = acc + jnp.dot(wt_ref[i], slab[:, r + u, v:v + W],
+            acc = acc + jnp.dot(wt_ref[i], slab[:, r + 7 + u,
+                                                127 + v:127 + v + W],
                                 preferred_element_type=jnp.float32)
         y_ref[0, :, r, :] = acc
 
@@ -92,7 +153,8 @@ def supported(x_nchw_shape, w_shape) -> bool:
 
 
 def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
-                    interpret: bool | None = None) -> jax.Array:
+                    interpret: bool | None = None,
+                    th: int | None = None) -> jax.Array:
     """Same-padding 3x3 conv, NCHW in / NCHW out (spatial-lanes Pallas).
 
     x: (N, C, H, W) float32 with W % 128 == 0; w: (3, 3, C, K) float32
@@ -104,18 +166,15 @@ def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
     assert supported(x_nchw.shape, w_hwio.shape), \
         (x_nchw.shape, w_hwio.shape)
     k = w_hwio.shape[-1]
-    th = _pick_th(h)
-    # zero-pad: 1 top + 7 bottom rows (alignment over-fetch), 1 left +
-    # 127 right columns (lane alignment)
-    xp = jnp.pad(x_nchw, ((0, 0), (0, 0), (1, 7), (1, 127)))
+    th = th or _pick_th(h)
     wt = w_hwio.reshape(9, c, k).transpose(0, 2, 1)  # (9, K, C) per-tap
 
     y = pl.pallas_call(
-        partial(_kernel, C=c, K=k, TH=th, W=w_dim),
+        partial(_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
         out_shape=jax.ShapeDtypeStruct((n, k, h, w_dim), jnp.float32),
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # whole padded x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # whole (unpadded) x in HBM
             pl.BlockSpec((9, k, c), lambda n_, t_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -123,12 +182,103 @@ def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
                                lambda n_, t_: (n_, 0, t_, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 8, w_dim + 128), jnp.float32),
+            pltpu.VMEM((c, th + 16, w_dim + 256), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, wt)
+    )(x_nchw, wt)
     return y
+
+
+# ---------------------------------------------------------------------------
+# The weight-gradient kernel: dw[u,v,c,k] = sum_{n,i,j} x[n,c,i+u-1,j+v-1]
+# * ct[n,k,i,j] — one read of x and ct, nine accumulated (C,W)x(K,W)->(C,K)
+# lane-contraction dots per row, output accumulated in VMEM across the grid.
+# ---------------------------------------------------------------------------
+# Why a kernel: XLA's dedicated dw-conv formulation measured 40x off
+# roofline on these shapes (~4.7 ms at 20-35 GiB/s, plus f32->bf16 layout
+# copies, ~23% of the depth-8 train step), and the 9-tap einsum rewrite
+# still compiled to ~1.8 ms reduction loop fusions re-reading both operands
+# per tap. Reading each operand ONCE is the bandwidth floor.
+
+
+def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    T = H // TH
+    _fetch_halo_slab(x_hbm, slab, sem, n, t, T=T, TH=TH, H=H, W=W)
+
+    @pl.when(jnp.logical_and(n == 0, t == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    accs = [jnp.zeros((C, K), jnp.float32) for _ in range(9)]
+    dims = (((1,), (1,)), ((), ()))  # contract lanes with lanes: A @ B^T
+    for r in range(TH):
+        ct_row = ct_ref[0, :, r, :]  # (K, W)
+        for i, (u, v) in enumerate((u, v) for u in range(3)
+                                   for v in range(3)):
+            xs = slab[:, r + 7 + u, 127 + v:127 + v + W]  # (C, W)
+            accs[i] = accs[i] + jax.lax.dot_general(
+                xs, ct_row, dims, preferred_element_type=jnp.float32)
+    for i in range(9):
+        dw_ref[i] = dw_ref[i] + accs[i]
+
+
+def conv3x3_dw_small_c(x_nchw: jax.Array, ct_nkhw: jax.Array,
+                       interpret: bool | None = None) -> jax.Array:
+    """Weight gradient of the same-padding 3x3 conv: (x, dy) -> (3,3,C,K)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, c, h, w_dim = x_nchw.shape
+    k = ct_nkhw.shape[1]
+    assert ct_nkhw.shape == (n, k, h, w_dim), (x_nchw.shape, ct_nkhw.shape)
+    th = _pick_th(h)
+    dw = pl.pallas_call(
+        partial(_dw_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
+        out_shape=jax.ShapeDtypeStruct((9, c, k), jnp.float32),
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # whole x in HBM
+            pl.BlockSpec((1, k, th, w_dim), lambda n_, t_: (n_, 0, t_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # constant index map: the (9, C, K) accumulator lives in VMEM for
+        # the whole grid and is written back once at the end
+        out_specs=pl.BlockSpec((9, c, k), lambda n_, t_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, th + 16, w_dim + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_nchw, ct_nkhw)
+    return dw.reshape(3, 3, c, k)
+
+
+def _dw_einsum(x, ct):
+    """Nine shifted-slice einsums (the no-Pallas dw): each tap is a plain
+    (C, N*H*W) @ (N*H*W, K) contraction over the in-range window — for row
+    offset du = u-1 the cotangent rows [max(0,-du), H-max(0,du)) align with
+    x rows [max(0,du), H+min(0,du)), and likewise for columns (zero-pad
+    contributions vanish). Exact; used on non-TPU backends."""
+    n, c, h, w = x.shape
+    taps = []
+    for u in range(3):
+        du = u - 1
+        xr0, cr0 = max(0, du), max(0, -du)
+        rows = h - abs(du)
+        for v in range(3):
+            dv = v - 1
+            xc0, cc0 = max(0, dv), max(0, -dv)
+            cols = w - abs(dv)
+            xs = jax.lax.slice(x, (0, 0, xr0, xc0),
+                               (n, c, xr0 + rows, xc0 + cols))
+            cs = jax.lax.slice(ct, (0, 0, cr0, cc0),
+                               (n, ct.shape[1], cr0 + rows, cc0 + cols))
+            taps.append(jnp.einsum("nchw,nkhw->ck", xs, cs,
+                                   preferred_element_type=jnp.float32))
+    return jnp.stack(taps).reshape(3, 3, c, ct.shape[1])
 
 
 # ---------------------------------------------------------------------------
@@ -171,15 +321,11 @@ def _dx_transpose(ct, _x_undef, w):
 
 
 def _dw_transpose(ct, x, _w_undef):
-    # d/dw[u,v,c,k] = sum_{n,i,j} xpad[n,c,i+u-1,j+v-1] * ct[n,k,i,j]:
-    # a conv contracting the sample axis as "features" — lhs x:(N,C,H,W)
-    # read as (feature=N, batch=C), rhs ct:(N,K,H,W) as (I=N, O=K), output
-    # (H'=3, W'=3, batch=C, feature=K) = HWIO. XLA's dw-conv path handles
-    # this tiny-output/huge-contraction regime well; no Pallas needed.
-    return jax.lax.conv_general_dilated(
-        x, ct, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("CNHW", "IOHW", "HWNC"),
-        preferred_element_type=jnp.float32)
+    # d/dw: the second bilinear primitive below — the Pallas dw kernel on
+    # TPU, the shifted-slice einsums elsewhere. Being a primitive (not a
+    # raw pallas_call) keeps THIS rule differentiable too, which WGAN-GP's
+    # reverse-over-reverse requires.
+    return conv3x3_dw(x, ct)
 
 
 def _conv3x3_batch(args, dims):
@@ -201,6 +347,63 @@ mlir.register_lowering(
                    multiple_results=False))
 ad.defbilinear(conv3x3_p, _dx_transpose, _dw_transpose)
 batching.primitive_batchers[conv3x3_p] = _conv3x3_batch
+
+
+# -- the dw primitive: (x, ct) -> (3, 3, C, K), bilinear -------------------
+# Its transposes are convs of the OTHER operand with the weight-cotangent,
+# so the two primitives close on each other under arbitrarily nested AD:
+#   d/d(ct)[n,k,i,j] of <cw, dw(x, ct)> = conv3x3(x, cw)
+#   d/d(x)[n,c,i,j]  of <cw, dw(x, ct)> = conv3x3(ct, flip_io(cw))
+
+conv3x3_dw_p = jex_core.Primitive("pggan_conv3x3_dw")
+
+
+def conv3x3_dw(x_nchw: jax.Array, ct_nkhw: jax.Array) -> jax.Array:
+    """Differentiable (any order) weight gradient of the 3x3 conv."""
+    return conv3x3_dw_p.bind(x_nchw, ct_nkhw)
+
+
+def _dw_abstract(x, ct):
+    n, c, h, w = x.shape
+    assert ct.shape[0] == n and ct.shape[2:] == (h, w), (x.shape, ct.shape)
+    return jax.core.ShapedArray((3, 3, c, ct.shape[1]), x.dtype)
+
+
+def _dw_impl(x, ct):
+    # the Mosaic kernel needs lane/sublane-aligned W/H; fall back to the
+    # einsum formulation off-TPU or for unsupported shapes
+    if _default_interpret() or not supported(x.shape,
+                                             (3, 3, x.shape[1], ct.shape[1])):
+        return _dw_einsum(x, ct)
+    return conv3x3_dw_small_c(x, ct)
+
+
+def _dw_x_transpose(cw, _x_undef, ct):
+    return conv3x3(ct, _flip_io(cw))
+
+
+def _dw_ct_transpose(cw, x, _ct_undef):
+    return conv3x3(x, cw)
+
+
+def _dw_batch(args, dims):
+    x, ct = args
+    bx, bct = dims
+    if bx is None or bct is None:
+        raise NotImplementedError("vmap over one conv3x3_dw operand")
+    x = jnp.moveaxis(x, bx, 0)
+    ct = jnp.moveaxis(ct, bct, 0)
+    b = x.shape[0]
+    dws = [conv3x3_dw(x[i], ct[i]) for i in range(b)]
+    return jnp.stack(dws), 0
+
+
+conv3x3_dw_p.def_abstract_eval(_dw_abstract)
+conv3x3_dw_p.def_impl(_dw_impl)
+mlir.register_lowering(
+    conv3x3_dw_p, mlir.lower_fun(_dw_impl, multiple_results=False))
+ad.defbilinear(conv3x3_dw_p, _dw_x_transpose, _dw_ct_transpose)
+batching.primitive_batchers[conv3x3_dw_p] = _dw_batch
 
 
 def _lax_conv(x_nchw, w):

@@ -76,6 +76,52 @@ def measure(entries, iters=40, rounds=3):
     return {k: float(np.mean(v)) for k, v in results.items() if v}
 
 
+def measure_serial(entries, iters=40, rounds=3):
+    """A/B/A for programs too big to co-reside in HBM (two full depth-8
+    grad-of-grad programs + states OOM the shared v5e chip): measure each
+    config to steady state, then FREE all its device buffers before building
+    the next. The first config is re-measured last — if its two readings
+    disagree materially, the chip was drifting and the comparison is void.
+    Same-process, so the usual >30% trust bar still applies (CLAUDE.md)."""
+    import gc
+
+    import jax
+    lr = np.float32(1e-4)
+    alpha = np.float32(1.0)
+    seq = list(entries) + [entries[0]]
+    results = []
+    for pos, (name, depth, batch, dtype, fused, fade, pallas) in \
+            enumerate(seq):
+        b, state, reals = build(depth, batch, dtype, fused, pallas)
+        step = b.step_fn(depth, batch, fade)
+        for _ in range(3):
+            state, m = step(state, reals, alpha, lr, lr)
+        float(m["D_loss"])
+        vals = []
+        for rnd in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, reals, alpha, lr, lr)
+            float(m["D_loss"])
+            dt = (time.perf_counter() - t0) / iters * 1000
+            if rnd > 0:
+                vals.append(dt)
+            print(f"[{pos}] {name} {dt:8.2f} ms"
+                  + (" (discarded)" if rnd == 0 else ""), flush=True)
+        results.append((name, float(np.mean(vals))))
+        del state, m, b, step, reals  # free device buffers + executable
+        gc.collect()
+        jax.clear_caches()
+    print("--- serial steady state:")
+    for name, v in results:
+        print(f"{name}: {v:8.2f} ms/step", flush=True)
+    a0, a1 = results[0][1], results[-1][1]
+    drift = abs(a1 - a0) / min(a0, a1)
+    print(f"drift check: {results[0][0]} measured {a0:.2f} then {a1:.2f} "
+          f"ms/step ({drift * 100:.1f}% apart)", flush=True)
+    return results
+
+
 def parse(cfg):
     name, rest = cfg.split(":")
     parts = rest.split(",")
@@ -91,4 +137,7 @@ if __name__ == "__main__":
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) \
         if "--iters" in sys.argv else 40
     cfgs = [a for a in sys.argv[1:] if ":" in a]
-    measure([parse(c) for c in cfgs], iters=iters)
+    if "--serial" in sys.argv:
+        measure_serial([parse(c) for c in cfgs], iters=iters)
+    else:
+        measure([parse(c) for c in cfgs], iters=iters)

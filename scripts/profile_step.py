@@ -6,7 +6,13 @@ prints the HLO self-time breakdown by op category and boundedness (HBM /
 compute) using the installed xprof tooling — the workflow that produced the
 round-1 findings in BASELINE.md.
 
-Usage: PYTHONPATH=.:/root/.axon_site python scripts/profile_step.py [depth] [batch]
+Usage: PYTHONPATH=.:/root/.axon_site python scripts/profile_step.py \
+           [depth] [batch] [out_dir] [--no-pallas] [--bf16]
+
+HLO self-time sums are per-op device-busy time, so unlike wall-clock steps
+they survive the shared chip's tenancy noise (CLAUDE.md measurement rules);
+comparing the totals of two profiled runs is the decision procedure when
+interleaved A/B drifts too much.
 """
 
 import collections
@@ -20,9 +26,12 @@ import numpy as np
 
 
 def main():
-    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    out_dir = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(
+    pallas = "--no-pallas" not in sys.argv
+    dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    depth = int(pos[0]) if len(pos) > 0 else 8
+    batch = int(pos[1]) if len(pos) > 1 else 3
+    out_dir = pos[2] if len(pos) > 2 else tempfile.mkdtemp(
         prefix="pggan_prof_")
 
     import jax
@@ -31,7 +40,10 @@ def main():
     from pggan_tpu.training.steps import TrainStepBuilder
 
     shape = (1, 3, 1024, 1024)
-    G, D = Generator(shape), Discriminator(shape)
+    G = Generator(shape, compute_dtype=dtype, pallas_tail=pallas)
+    D = Discriminator(shape, compute_dtype=dtype, pallas_tail=pallas)
+    print(f"config: depth={depth} batch={batch} pallas={pallas} "
+          f"dtype={dtype}", flush=True)
     opt = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     state = init_state(G.init(ks[0]), D.init(ks[1]), opt, ks[2])
@@ -74,6 +86,17 @@ def main():
     print("--- by bound:")
     for bnd, t in bybound.most_common(8):
         print(f"{t / total * 100:5.1f}%  {bnd}")
+    print("--- top ops by self time:")
+    rows.sort(key=lambda d: -(d.get("Total self time (us)") or 0))
+    for d in rows[:25]:
+        t = d.get("Total self time (us)") or 0
+        name = (d.get("HLO name") or "?")[:60]
+        expr = (d.get("HLO expression") or d.get("Op expression") or "")
+        print(f"{t / total * 100:5.1f}%  {t / (n_steps * 1e3):7.2f} ms/step  "
+              f"{d.get('HLO op category'):>18}  {d.get('Bound by'):>8}  "
+              f"{name}")
+        if expr:
+            print(f"         {expr[:150]}")
 
 
 if __name__ == "__main__":
