@@ -48,12 +48,12 @@ class Discriminator:
     dtype: object = field(default=jnp.float32, repr=False)
 
     # Pallas-head envelope (plain class attributes so they stay out of the
-    # constructor/CLI surface; tests/benches tune them): a stage runs NCHW
+    # constructor/CLI surface; tests/benches tune them): a stage runs NHCW
     # when its resolution is lane-aligned (>=128, %128) and its input channel
     # count is small enough that NHWC would waste lanes.
     _pallas_min_res = 128
     _pallas_max_cin = 64
-    # set by TrainStepBuilder when training over a device mesh: the NCHW head
+    # set by TrainStepBuilder when training over a device mesh: the NHCW head
     # is wrapped in shard_map over this axis (Pallas kernels are opaque to
     # GSPMD — without it the partitioner would all-gather around them)
     mesh = None
@@ -122,17 +122,20 @@ class Discriminator:
         # keeps its default (lrelu/relu) — reference network.py:145,160.
         return self._conv(p["fromrgb"], x, pad=0, use_pixelnorm=False)
 
-    # -- spatial-lanes (NCHW/Pallas) head ------------------------------------
-    def _stage_ok(self, res: int, ch_in: int) -> bool:
+    # -- spatial-lanes (NHCW/Pallas) head ------------------------------------
+    def _stage_ok(self, res: int, ch_in: int, ch_out: int) -> bool:
+        # channel counts sit in the tiled sublane dim of the NHCW layout:
+        # compiled Mosaic needs them 8-aligned (ops/pallas_conv.py supported)
         return (res >= self._pallas_min_res and res % 128 == 0
-                and ch_in <= self._pallas_max_cin)
+                and ch_in <= self._pallas_max_cin
+                and ch_in % 8 == 0 and ch_out % 8 == 0)
 
     def _pallas_span(self, depth: int) -> int:
         """How many leading stages (entry block + following DBlocks) run on
-        the NCHW spatial-lanes path (ops/pallas_conv.py).
+        the NHCW spatial-lanes path (ops/pallas_conv.py).
 
         The high-res tail has tiny channel counts that waste NHWC lanes —
-        and keeping those stages NCHW *end-to-end* (convs, pool, fade blend)
+        and keeping those stages NHCW *end-to-end* (convs, pool, fade blend)
         also kills the per-conv layout copies that profiles put at ~33% of
         the 1024px step. f32 only; W must be lane-aligned (res % 128 == 0).
         The entry stage runs at res(depth) on nf(depth+1) channels; loop
@@ -140,61 +143,63 @@ class Discriminator:
         (res 4) never qualifies."""
         if not self.pallas_tail or self._compute is not None or depth == 0:
             return 0
-        if not self._stage_ok(self.resolution_at(depth), self.nf(depth + 1)):
+        if not self._stage_ok(self.resolution_at(depth), self.nf(depth + 1),
+                              self.nf(depth)):
             return 0
         span = 1
         for i in range(depth, 1, -1):
-            if not self._stage_ok(self.resolution_at(i - 1), self.nf(i)):
+            if not self._stage_ok(self.resolution_at(i - 1), self.nf(i),
+                                  self.nf(i - 1)):
                 break
             span += 1
         return span
 
     def _pallas_head(self, blocks, x_nhwc, depth, alpha, fade, span):
         """Entry block + fade blend + the next ``span - 1`` DBlocks, computed
-        in NCHW with Pallas 3x3 convs (each stage ends in its 2x2 avg-pool).
+        in NHCW with Pallas 3x3 convs (each stage ends in its 2x2 avg-pool).
         Semantics exactly match the NHWC path / reference entry chain
         (network.py:227-238); returns NHWC features at ``res(depth - span)``
         with ``nf(depth - span + 1)`` channels, f32."""
-        from pggan_tpu.ops import nchw
+        from pggan_tpu.ops import spatial
 
         n = len(blocks)
 
         def conv1x1(v, pp):
             # fromRGB: act, never pixelnorm (reference network.py:145,160)
-            return nchw.conv1x1(pp, v, wscale=self.wscale, act=self.act,
+            return spatial.conv1x1(pp, v, wscale=self.wscale, act=self.act,
                                 use_pixelnorm=False, eps=self.eps)
 
         def conv3(v, pp):
-            return nchw.conv3x3_block(pp, v, wscale=self.wscale,
+            return spatial.conv3x3_block(pp, v, wscale=self.wscale,
                                       act=self.act,
                                       use_pixelnorm=self.pixelnorm,
                                       eps=self.eps)
 
-        x = x_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)  # -> NCHW
+        x = x_nhwc.transpose(0, 1, 3, 2).astype(jnp.float32)  # -> NHCW
         p = blocks[n - (depth + 1)]
         h = conv1x1(x, p["fromrgb"])
         h = conv3(h, p["c1"])
         h = conv3(h, p["c2"])
-        h = nchw.avg_pool_2x(h)
+        h = spatial.avg_pool_2x(h)
         if fade:
             # fade-in blend with the next block's fromRGB of the pooled input
-            # (network.py:230-233), all in NCHW
-            prev = conv1x1(nchw.avg_pool_2x(x), blocks[n - depth]["fromrgb"])
+            # (network.py:230-233), all in NHCW
+            prev = conv1x1(spatial.avg_pool_2x(x), blocks[n - depth]["fromrgb"])
             a = jnp.asarray(alpha, jnp.float32)
             h = h * a + (1.0 - a) * prev
         for i in range(depth, depth - span + 1, -1):
             p = blocks[n - i]
             h = conv3(h, p["c1"])
             h = conv3(h, p["c2"])
-            h = nchw.avg_pool_2x(h)
-        return h.transpose(0, 2, 3, 1)  # back to NHWC
+            h = spatial.avg_pool_2x(h)
+        return h.transpose(0, 1, 3, 2)  # back to NHWC
 
     def _pallas_head_fn(self, depth, fade, span, batch_size=None):
         """(blocks, x, alpha) -> NHWC features; shard_mapped over the batch
         axis when a mesh is set, because a pallas_call is opaque to GSPMD
         (the partitioner would otherwise all-gather its operands). The head
         is purely per-example, so batch-sharding it is exact."""
-        from pggan_tpu.ops.nchw import shard_map_batch
+        from pggan_tpu.ops.spatial import shard_map_batch
 
         def head(bp, xx, aa):
             return self._pallas_head(bp, xx, depth, aa, fade, span)
@@ -229,7 +234,7 @@ class Discriminator:
         x = x.astype(self.dtype)
         span = self._pallas_span(depth)
         if span > 0:
-            # NCHW spatial-lanes head: entry block, fade blend and the
+            # NHCW spatial-lanes head: entry block, fade blend and the
             # following small-channel DBlocks in one layout, Pallas convs
             head = self._pallas_head_fn(depth, fade, span, x.shape[0])
             h = head(blocks, x, jnp.asarray(alpha, jnp.float32))

@@ -71,13 +71,13 @@ class Generator:
     dtype: object = field(default=jnp.float32, repr=False)
 
     # Pallas-tail envelope (class attributes — out of the constructor/CLI
-    # surface; tests/benches tune them). A growth stage joins the NCHW tail
+    # surface; tests/benches tune them). A growth stage joins the NHCW tail
     # when its conv resolution 2**(i+3) is lane-aligned (>=128, %128) and its
     # input channel count nf(i+1) is small enough that NHWC wastes lanes.
     _pallas_min_res = 128
     _pallas_max_cin = 64
     # set by TrainStepBuilder when training over a device mesh (see
-    # ops/nchw.py shard_map_batch)
+    # ops/spatial.py shard_map_batch)
     mesh = None
     batch_axis = "data"
 
@@ -148,47 +148,55 @@ class Generator:
         return self._conv(p["torgb"], h, ksize=1, pad=0,
                           use_pixelnorm=False, act=None)
 
-    # -- spatial-lanes (NCHW/Pallas) tail ------------------------------------
+    # -- spatial-lanes (NHCW/Pallas) tail ------------------------------------
     def _pallas_tail_start(self, depth: int):
-        """First growth-stage index handled by the NCHW spatial-lanes tail,
+        """First growth-stage index handled by the NHCW spatial-lanes tail,
         or None. Stage i convolves at 2**(i+3) px with nf(i+1) input
         channels; resolution grows and channels shrink with i, so once a
         stage qualifies every later one does. f32 only."""
         if not self.pallas_tail or self._compute is not None or depth < 1:
             return None
-        for i in range(depth):
+        def ok(i):
             res = 2 ** (i + 3)
-            if (res >= self._pallas_min_res and res % 128 == 0
-                    and self.nf(i + 1) <= self._pallas_max_cin):
-                return i
-        return None
+            # stage i convolves nf(i+1) -> nf(i+2) channels; both sit in
+            # the NHCW sublane dim and must be 8-aligned for Mosaic
+            return (res >= self._pallas_min_res and res % 128 == 0
+                    and self.nf(i + 1) <= self._pallas_max_cin
+                    and self.nf(i + 1) % 8 == 0 and self.nf(i + 2) % 8 == 0)
+
+        start = None
+        for i in reversed(range(depth)):  # every stage i..depth-1 must pass
+            if not ok(i):
+                break
+            start = i
+        return start
 
     def _pallas_tail(self, params, h_nhwc, depth, alpha, fade, start):
-        """Growth stages ``start .. depth-1`` + toRGB (+ fade blend) in NCHW
+        """Growth stages ``start .. depth-1`` + toRGB (+ fade blend) in NHCW
         with Pallas 3x3 convs. The fused-scale dilated conv is replaced by
         an explicit nearest upsample (the broadcast fuses with the conv's
         pad into one XLA pass) — bit-equal to the reference's non-fused
         formulation (network.py:127-129). Returns NHWC RGB at res(depth),
         f32, matching ``apply``'s output contract."""
-        from pggan_tpu.ops import nchw
+        from pggan_tpu.ops import spatial
 
         blocks = params["blocks"]
 
         def stage(v, p):
-            v = nchw.upsample_nearest_2x(v)
-            v = nchw.conv3x3_block(p["c1"], v, wscale=self.wscale,
+            v = spatial.upsample_nearest_2x(v)
+            v = spatial.conv3x3_block(p["c1"], v, wscale=self.wscale,
                                    act=self.act,
                                    use_pixelnorm=self.pixelnorm, eps=self.eps)
-            return nchw.conv3x3_block(p["c2"], v, wscale=self.wscale,
+            return spatial.conv3x3_block(p["c2"], v, wscale=self.wscale,
                                       act=self.act,
                                       use_pixelnorm=self.pixelnorm,
                                       eps=self.eps)
 
         def torgb(v, p):
-            return nchw.conv1x1(p["torgb"], v, wscale=self.wscale, act=None,
+            return spatial.conv1x1(p["torgb"], v, wscale=self.wscale, act=None,
                                 use_pixelnorm=False, eps=self.eps)
 
-        h = h_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)  # -> NCHW
+        h = h_nhwc.transpose(0, 1, 3, 2).astype(jnp.float32)  # -> NHCW
         for i in range(start, depth - 1):
             h = stage(h, blocks[i])
         if fade:
@@ -196,15 +204,15 @@ class Generator:
             # (1x1 commutes with nearest upsample — reference order,
             # network.py:129-135)
             prev_p = blocks[depth - 2] if depth > 1 else params["block0"]
-            prev_rgb = nchw.upsample_nearest_2x(torgb(h, prev_p))
+            prev_rgb = spatial.upsample_nearest_2x(torgb(h, prev_p))
         ult = torgb(stage(h, blocks[depth - 1]), blocks[depth - 1])
         if fade:
             a = jnp.asarray(alpha, jnp.float32)
             ult = prev_rgb * (1.0 - a) + ult * a
-        return ult.transpose(0, 2, 3, 1)  # -> NHWC images
+        return ult.transpose(0, 1, 3, 2)  # -> NHWC images
 
     def _pallas_tail_fn(self, depth, fade, start, batch_size):
-        from pggan_tpu.ops.nchw import shard_map_batch
+        from pggan_tpu.ops.spatial import shard_map_batch
 
         def tail(p, hh, aa):
             return self._pallas_tail(p, hh, depth, aa, fade, start)
@@ -234,7 +242,7 @@ class Generator:
             return self._torgb(params["block0"], h).astype(jnp.float32)
         tail = self._pallas_tail_start(depth)
         if tail is not None:
-            # low-res NHWC stages, then the NCHW spatial-lanes tail (Pallas
+            # low-res NHWC stages, then the NHCW spatial-lanes tail (Pallas
             # convs; includes the final stage, toRGB and the fade blend)
             for i in range(tail):
                 h = (self._block_up(params["blocks"][i], h)

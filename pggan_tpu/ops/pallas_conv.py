@@ -4,13 +4,16 @@ Why: at the progressive pyramid's high-resolution tail (1024px, 3-32
 channels) XLA's conv path leaves ~12x on the table — profiles show the
 1024px step 93% HBM-bound with a third of the time in layout copies, because
 channels-last tensors with C << 128 waste the (8, 128) tile lanes
-(BASELINE.md). This kernel flips the layout: it operates on **NCHW** blocks
-so W sits in the lanes (full 128-lane utilization at any C), DMAs one
-(C, TH+8, W+128) halo slab per grid step from HBM (slab sizes are
-8x128-aligned as Mosaic requires; the over-fetch is the alignment tax),
-builds the 3x3 window as nine shifted slices in VMEM, and does nine
-accumulated MXU dots ``(K, C) @ (C, W)`` per output row whose result IS the
-output tile — ~one read of x plus one write of y: the bandwidth floor.
+(BASELINE.md). This kernel flips the layout: it operates on **NHCW** blocks
+— H major, C in the sublanes, W in the lanes (full 128-lane utilization at
+any C). Per grid step it DMAs a (TH+2, C, W) halo slab straight from the
+UNPADDED input (the row dimension is major, so edge-clamped DMAs need no
+alignment over-fetch and no zero-padded HBM copy), and computes each output
+row with three accumulated MXU dots ``(K, 3C) @ (3C, W)`` — the three row
+taps of the 3x3 window merge into the contraction via a tile-aligned
+(3, C, W) -> (3C, W) value reshape when C % 8 == 0 (nine thin ``(K, C) @
+(C, W)`` dots otherwise; measured ~1.4x slower from dot-issue overhead).
+Total traffic: ~one read of x plus one write of y — the bandwidth floor.
 
 Differentiation: ``conv3x3`` is a first-class JAX primitive with bilinear
 JVP and transpose rules (``ad.defbilinear``), so it is differentiable to
@@ -18,15 +21,17 @@ ANY order — including WGAN-GP's reverse-over-reverse (the gradient penalty
 differentiates the critic's input-gradient, reference wgan_gp_loss.py:25-28).
 The input-cotangent transpose is the same spatial-lanes kernel applied to
 the cotangent with tap-flipped, io-swapped weights (so dx and ddx run on
-Pallas too); the weight-cotangent is XLA's dedicated dw-conv formulation
-(tiny output, huge contraction — the regime XLA already handles well).
+Pallas too); the weight-cotangent is a second bilinear primitive backed by
+its own one-pass Pallas kernel (``conv3x3_dw``) whose transposes are convs
+of the other operand — the two primitives close on each other under
+arbitrarily nested AD.
 
 Status: f32, same-padding 3x3, W a multiple of 128, H a multiple of 8.
-Round-1 measured result on TPU v5e: bit-accurate vs
-``lax.conv_general_dilated`` and 2.1x faster steady-state at the profiled
-worst layer (3x16x1024x1024 -> 16ch); the full NCHW D-entry chain
-(fwd+bwd) 1.75x over the NHWC/XLA chain. Correctness pinned in tests
-(interpret mode on CPU; compiled A/B via scripts/bench_pallas_conv.py).
+Measured on TPU v5e: bit-accurate vs ``lax.conv_general_dilated`` at the
+profiled worst layer and 2.1-3x faster steady-state; the depth-8 train
+step's HLO self-time drops 360 -> <200 ms/step vs the pure-XLA path
+(BASELINE.md). Correctness pinned in tests (interpret mode on CPU;
+compiled parity re-checked on TPU per change).
 """
 
 from __future__ import annotations
@@ -56,19 +61,20 @@ def _default_interpret() -> bool:
 
 def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, T, TH, H, W):
     """DMA the halo window rows [t*TH - 1, t*TH + TH + 1) of image ``n``
-    into ``slab`` so that slab row ``s`` holds global row ``t*TH - 8 + s``
-    and slab column ``128 + j`` holds global column ``j`` — entirely from
-    the UNPADDED input. Materializing a zero-padded copy in HBM (round 1's
-    approach) reads + writes the whole tensor once more per conv call,
-    which profiled at ~5-6% of the depth-8 train step; here the halo is
-    assembled in VMEM instead.
+    (layout N, H, C, W) into ``slab`` so that slab row ``s`` holds global
+    row ``t*TH - 1 + s`` and slab column ``128 + j`` holds global column
+    ``j`` — entirely from the UNPADDED input. Materializing a zero-padded
+    copy in HBM (round 1's approach) reads + writes the whole tensor once
+    more per conv call, which profiled at ~5-6% of the depth-8 train step;
+    here the halo is assembled in VMEM instead.
 
-    Alignment: DMAs keep 8-row-aligned starts/sizes by over-fetching to
-    [t*TH - 8, t*TH + TH + 8), clamped at the image edges with statically
-    sized per-branch copies (Mosaic wants aligned slices; sizes must be
-    static). The out-of-image halo rows (7 at the top edge, TH+8 at the
-    bottom) are zeroed; halo columns 127 and 128+W are never DMA'd and
-    stay zero from the one-time full-slab zero at the first grid step.
+    The row dimension is MAJOR in this layout, so edge-clamped DMAs can
+    start at any row — no alignment over-fetch (the NCHW variant had to
+    fetch 8-aligned slabs, doubling read traffic at TH=16). Sizes must
+    still be static, hence the per-edge branches. The out-of-image halo
+    rows (0 at the top edge, TH+1 at the bottom) are zeroed; halo columns
+    127 and 128+W are never DMA'd and stay zero from the one-time
+    full-slab zero at the first grid step.
     """
     first = jnp.logical_and(n == 0, t == 0)
 
@@ -77,45 +83,54 @@ def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, T, TH, H, W):
         slab[...] = jnp.zeros_like(slab)
 
     def dma(src_lo, rows, dst_lo):
-        # src_lo is always a multiple of 8 (t*TH - 8 with TH % 8 == 0), but
-        # Mosaic cannot prove it for a dynamic expression — hint it.
         return pltpu.make_async_copy(
-            x_hbm.at[n, :, pl.ds(pl.multiple_of(src_lo, 8), rows), :],
-            slab.at[:, pl.ds(dst_lo, rows), pl.ds(128, W)], sem)
+            x_hbm.at[n, pl.ds(src_lo, rows), :, :],
+            slab.at[pl.ds(dst_lo, rows), :, pl.ds(128, W)], sem)
 
     if T == 1:
-        d = dma(0, H, 8)
+        d = dma(0, H, 1)
         d.start()
         d.wait()
     else:
         @pl.when(t == 0)
         def _():
-            d = dma(0, TH + 8, 8)
+            d = dma(0, TH + 1, 1)
             d.start()
             d.wait()
 
         if T > 2:
             @pl.when(jnp.logical_and(t > 0, t < T - 1))
             def _():
-                d = dma(t * TH - 8, TH + 16, 0)
+                d = dma(t * TH - 1, TH + 2, 0)
                 d.start()
                 d.wait()
 
         @pl.when(t == T - 1)
         def _():
-            d = dma((T - 1) * TH - 8, TH + 8, 0)
+            d = dma((T - 1) * TH - 1, TH + 1, 0)
             d.start()
             d.wait()
 
-    # zero-pad rows: global row -1 (slab row 7) at the top edge, global row
-    # H (slab row TH+8) at the bottom. Middle blocks DMA real data over both.
+    # zero-pad rows: global row -1 (slab row 0) at the top edge, global row
+    # H (slab row TH+1) at the bottom. Middle blocks DMA real data over both.
     @pl.when(t == 0)
     def _():
-        slab[:, 7:8, :] = jnp.zeros_like(slab[:, 7:8, :])
+        slab[0:1] = jnp.zeros_like(slab[0:1])
 
     @pl.when(t == T - 1)
     def _():
-        slab[:, TH + 8:TH + 9, :] = jnp.zeros_like(slab[:, TH + 8:TH + 9, :])
+        slab[TH + 1:TH + 2] = jnp.zeros_like(slab[TH + 1:TH + 2])
+
+
+def _taps(slab, r, v, *, C, W, merged):
+    """The 3x3 window operands for output row ``r``, lane shift ``v``:
+    slab rows r..r+3 hold global rows r-1..r+2 of the current block, slab
+    column 127+v+j holds global column j + (v-1)."""
+    if merged:
+        # one (3C, W) operand per lane shift: the three row taps merge into
+        # the contraction via a tile-aligned value reshape (C % 8 == 0)
+        return slab[r:r + 3, :, 127 + v:127 + v + W].reshape(-1, W)
+    return [slab[r + u, :, 127 + v:127 + v + W] for u in range(3)]
 
 
 def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H):
@@ -123,20 +138,25 @@ def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H):
     t = pl.program_id(1)
     _fetch_halo_slab(x_hbm, slab, sem, n, t, T=H // TH, TH=TH, H=H, W=W)
 
-    # Per output row: nine accumulated MXU dots, one per 3x3 tap — all
-    # operands are plain 2D slices. (Mosaic supports neither the
-    # (C, TH, W) -> (C, TH*W) sublane/lane-merging reshape nor concatenation
-    # of slices with differing lane offsets, so the im2col formulation is
-    # expressed as a tap-sum instead.) Slab row r+7+u holds global row
-    # t*TH + r + (u-1); slab column 127+v+j holds global column j + (v-1).
+    # Per output row: three accumulated MXU dots (K, 3C) @ (3C, W), one per
+    # lane shift v, when C is tile-aligned — nine thin (K, C) @ (C, W) dots
+    # otherwise (dot-issue overhead measured ~1.4x slower). Mosaic supports
+    # neither lane-merging reshapes nor concatenation of slices at differing
+    # lane offsets, so the v taps cannot merge further.
+    merged = C % 8 == 0
     for r in range(TH):
         acc = jnp.zeros((K, W), jnp.float32)
-        for i, (u, v) in enumerate((u, v) for u in range(3)
-                                   for v in range(3)):
-            acc = acc + jnp.dot(wt_ref[i], slab[:, r + 7 + u,
-                                                127 + v:127 + v + W],
-                                preferred_element_type=jnp.float32)
-        y_ref[0, :, r, :] = acc
+        for v in range(3):
+            ops = _taps(slab, r, v, C=C, W=W, merged=merged)
+            if merged:
+                acc = acc + jnp.dot(wt_ref[v], ops,
+                                    preferred_element_type=jnp.float32)
+            else:
+                for u in range(3):
+                    acc = acc + jnp.dot(wt_ref[v, :, u * C:(u + 1) * C],
+                                        ops[u],
+                                        preferred_element_type=jnp.float32)
+        y_ref[0, r] = acc
 
 
 def _pick_th(h: int) -> int:
@@ -146,47 +166,68 @@ def _pick_th(h: int) -> int:
     return h
 
 
-def supported(x_nchw_shape, w_shape) -> bool:
-    n, c, h, w = x_nchw_shape
+def _shape_ok(x_nhcw_shape, w_shape) -> bool:
+    n, h, c, w = x_nhcw_shape
     kh, kw, wc, k = w_shape
     return (kh, kw) == (3, 3) and wc == c and w % 128 == 0 and h % 8 == 0
 
 
-def conv3x3_small_c(x_nchw: jax.Array, w_hwio: jax.Array,
+def supported(x_nhcw_shape, w_shape) -> bool:
+    """Can the COMPILED Mosaic kernel run this shape? On top of the
+    structural requirements, C and K sit in the (8, 128)-tiled sublane
+    dimension in this layout, so DMAs/blocks need them 8-aligned. (The
+    interpret-mode kernel emulates any channel count via the thin per-tap
+    compute path.)"""
+    c, k = x_nhcw_shape[2], w_shape[3]
+    return _shape_ok(x_nhcw_shape, w_shape) and c % 8 == 0 and k % 8 == 0
+
+
+def _weights_3k3c(w_hwio: jax.Array) -> jax.Array:
+    """(3, 3, C, K) -> (3, K, 3C) with layout [v][k][u*C + c]: one merged
+    lhs per lane shift v, the three row taps u stacked in the contraction."""
+    return w_hwio.transpose(1, 3, 0, 2).reshape(
+        3, w_hwio.shape[3], 3 * w_hwio.shape[2])
+
+
+def conv3x3_small_c(x_nhcw: jax.Array, w_hwio: jax.Array,
                     interpret: bool | None = None,
                     th: int | None = None) -> jax.Array:
-    """Same-padding 3x3 conv, NCHW in / NCHW out (spatial-lanes Pallas).
+    """Same-padding 3x3 conv, NHCW in / NHKW out (spatial-lanes Pallas).
 
-    x: (N, C, H, W) float32 with W % 128 == 0; w: (3, 3, C, K) float32
-    (HWIO, already scaled by any equalized-LR constant). Returns (N, K, H, W).
+    x: (N, H, C, W) float32 with W % 128 == 0; w: (3, 3, C, K) float32
+    (HWIO, already scaled by any equalized-LR constant). Returns (N, H, K, W).
     """
     if interpret is None:
         interpret = _default_interpret()
-    n, c, h, w_dim = x_nchw.shape
-    assert supported(x_nchw.shape, w_hwio.shape), \
-        (x_nchw.shape, w_hwio.shape)
+    n, h, c, w_dim = x_nhcw.shape
+    # interpret mode emulates any channel count (the thin per-tap path);
+    # compiled Mosaic additionally needs the 8-aligned C/K of supported()
+    assert _shape_ok(x_nhcw.shape, w_hwio.shape), \
+        (x_nhcw.shape, w_hwio.shape)
+    assert interpret or supported(x_nhcw.shape, w_hwio.shape), \
+        (x_nhcw.shape, w_hwio.shape)
     k = w_hwio.shape[-1]
     th = th or _pick_th(h)
-    wt = w_hwio.reshape(9, c, k).transpose(0, 2, 1)  # (9, K, C) per-tap
+    wt = _weights_3k3c(w_hwio)
 
     y = pl.pallas_call(
         partial(_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
-        out_shape=jax.ShapeDtypeStruct((n, k, h, w_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, h, k, w_dim), jnp.float32),
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # whole (unpadded) x in HBM
-            pl.BlockSpec((9, k, c), lambda n_, t_: (0, 0, 0),
+            pl.BlockSpec((3, k, 3 * c), lambda n_, t_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, th, w_dim),
-                               lambda n_, t_: (n_, 0, t_, 0),
+        out_specs=pl.BlockSpec((1, th, k, w_dim),
+                               lambda n_, t_: (n_, t_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 16, w_dim + 256), jnp.float32),
+            pltpu.VMEM((th + 2, c, w_dim + 256), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_nchw, wt)
+    )(x_nhcw, wt)
     return y
 
 
@@ -212,48 +253,63 @@ def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H):
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    accs = [jnp.zeros((C, K), jnp.float32) for _ in range(9)]
+    merged = C % 8 == 0
     dims = (((1,), (1,)), ((), ()))  # contract lanes with lanes: A @ B^T
-    for r in range(TH):
-        ct_row = ct_ref[0, :, r, :]  # (K, W)
-        for i, (u, v) in enumerate((u, v) for u in range(3)
-                                   for v in range(3)):
-            xs = slab[:, r + 7 + u, 127 + v:127 + v + W]  # (C, W)
-            accs[i] = accs[i] + jax.lax.dot_general(
-                xs, ct_row, dims, preferred_element_type=jnp.float32)
-    for i in range(9):
-        dw_ref[i] = dw_ref[i] + accs[i]
+    if merged:
+        accs = [jnp.zeros((3 * C, K), jnp.float32) for _ in range(3)]
+        for r in range(TH):
+            ct_row = ct_ref[0, r]  # (K, W)
+            for v in range(3):
+                accs[v] = accs[v] + jax.lax.dot_general(
+                    _taps(slab, r, v, C=C, W=W, merged=True), ct_row,
+                    dims, preferred_element_type=jnp.float32)
+    else:
+        accs9 = [[jnp.zeros((C, K), jnp.float32) for _ in range(3)]
+                 for _ in range(3)]
+        for r in range(TH):
+            ct_row = ct_ref[0, r]
+            for v in range(3):
+                ops = _taps(slab, r, v, C=C, W=W, merged=False)
+                for u in range(3):
+                    accs9[u][v] = accs9[u][v] + jax.lax.dot_general(
+                        ops[u], ct_row, dims,
+                        preferred_element_type=jnp.float32)
+        accs = [jnp.concatenate([accs9[u][v] for u in range(3)], axis=0)
+                for v in range(3)]
+    for v in range(3):
+        dw_ref[v] = dw_ref[v] + accs[v]
 
 
-def conv3x3_dw_small_c(x_nchw: jax.Array, ct_nkhw: jax.Array,
+def conv3x3_dw_small_c(x_nhcw: jax.Array, ct_nhkw: jax.Array,
                        interpret: bool | None = None) -> jax.Array:
     """Weight gradient of the same-padding 3x3 conv: (x, dy) -> (3,3,C,K)."""
     if interpret is None:
         interpret = _default_interpret()
-    n, c, h, w_dim = x_nchw.shape
-    k = ct_nkhw.shape[1]
-    assert ct_nkhw.shape == (n, k, h, w_dim), (x_nchw.shape, ct_nkhw.shape)
+    n, h, c, w_dim = x_nhcw.shape
+    k = ct_nhkw.shape[2]
+    assert ct_nhkw.shape == (n, h, k, w_dim), (x_nhcw.shape, ct_nhkw.shape)
     th = _pick_th(h)
     dw = pl.pallas_call(
         partial(_dw_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
-        out_shape=jax.ShapeDtypeStruct((9, c, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * c, k), jnp.float32),
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # whole x in HBM
-            pl.BlockSpec((1, k, th, w_dim), lambda n_, t_: (n_, 0, t_, 0),
+            pl.BlockSpec((1, th, k, w_dim), lambda n_, t_: (n_, t_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # constant index map: the (9, C, K) accumulator lives in VMEM for
+        # constant index map: the (3, 3C, K) accumulator lives in VMEM for
         # the whole grid and is written back once at the end
-        out_specs=pl.BlockSpec((9, c, k), lambda n_, t_: (0, 0, 0),
+        out_specs=pl.BlockSpec((3, 3 * c, k), lambda n_, t_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 16, w_dim + 256), jnp.float32),
+            pltpu.VMEM((th + 2, c, w_dim + 256), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_nchw, ct_nkhw)
-    return dw.reshape(3, 3, c, k)
+    )(x_nhcw, ct_nhkw)
+    # dw[v][u*C + c][k] -> (u, v, c, k) HWIO
+    return dw.reshape(3, 3, c, k).transpose(1, 0, 2, 3)
 
 
 def _dw_einsum(x, ct):
@@ -262,7 +318,8 @@ def _dw_einsum(x, ct):
     offset du = u-1 the cotangent rows [max(0,-du), H-max(0,du)) align with
     x rows [max(0,du), H+min(0,du)), and likewise for columns (zero-pad
     contributions vanish). Exact; used on non-TPU backends."""
-    n, c, h, w = x.shape
+    n, h, c, w = x.shape
+    k = ct.shape[2]
     taps = []
     for u in range(3):
         du = u - 1
@@ -272,13 +329,13 @@ def _dw_einsum(x, ct):
             dv = v - 1
             xc0, cc0 = max(0, dv), max(0, -dv)
             cols = w - abs(dv)
-            xs = jax.lax.slice(x, (0, 0, xr0, xc0),
-                               (n, c, xr0 + rows, xc0 + cols))
-            cs = jax.lax.slice(ct, (0, 0, cr0, cc0),
-                               (n, ct.shape[1], cr0 + rows, cc0 + cols))
-            taps.append(jnp.einsum("nchw,nkhw->ck", xs, cs,
+            xs = jax.lax.slice(x, (0, xr0, 0, xc0),
+                               (n, xr0 + rows, c, xc0 + cols))
+            cs = jax.lax.slice(ct, (0, cr0, 0, cc0),
+                               (n, cr0 + rows, k, cc0 + cols))
+            taps.append(jnp.einsum("nhcw,nhkw->ck", xs, cs,
                                    preferred_element_type=jnp.float32))
-    return jnp.stack(taps).reshape(3, 3, c, ct.shape[1])
+    return jnp.stack(taps).reshape(3, 3, c, k)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +346,7 @@ def _dw_einsum(x, ct):
 # arbitrarily nested forward/reverse AD (``ad.defbilinear``):
 #   - tangents:     conv(tx, w) and conv(x, tw)   -> this primitive (Pallas)
 #   - x-cotangent:  conv(ct, flip_io(w))          -> this primitive (Pallas)
-#   - w-cotangent:  XLA dw-conv (batch contracted as the conv's feature dim)
+#   - w-cotangent:  the conv3x3_dw primitive below (Pallas dw kernel)
 # This is what round 1's custom_vjp/custom_jvp wrappers could not provide:
 # the VJP residuals leaked raw pallas_calls that reverse-over-reverse (the
 # WGAN-GP gradient penalty) could not differentiate, forcing lax derivatives.
@@ -297,15 +354,15 @@ def _dw_einsum(x, ct):
 conv3x3_p = jex_core.Primitive("pggan_conv3x3")
 
 
-def conv3x3(x_nchw: jax.Array, w_hwio: jax.Array) -> jax.Array:
-    """Differentiable (any order) same-padding 3x3 conv, NCHW, Pallas."""
-    return conv3x3_p.bind(x_nchw, w_hwio)
+def conv3x3(x_nhcw: jax.Array, w_hwio: jax.Array) -> jax.Array:
+    """Differentiable (any order) same-padding 3x3 conv, NHCW, Pallas."""
+    return conv3x3_p.bind(x_nhcw, w_hwio)
 
 
 def _conv3x3_abstract(x, w):
     assert supported(x.shape, w.shape), (x.shape, w.shape)
-    n, c, h, wd = x.shape
-    return jax.core.ShapedArray((n, w.shape[-1], h, wd), x.dtype)
+    n, h, c, wd = x.shape
+    return jax.core.ShapedArray((n, h, w.shape[-1], wd), x.dtype)
 
 
 def _flip_io(w_hwio: jax.Array) -> jax.Array:
@@ -352,28 +409,29 @@ batching.primitive_batchers[conv3x3_p] = _conv3x3_batch
 # -- the dw primitive: (x, ct) -> (3, 3, C, K), bilinear -------------------
 # Its transposes are convs of the OTHER operand with the weight-cotangent,
 # so the two primitives close on each other under arbitrarily nested AD:
-#   d/d(ct)[n,k,i,j] of <cw, dw(x, ct)> = conv3x3(x, cw)
-#   d/d(x)[n,c,i,j]  of <cw, dw(x, ct)> = conv3x3(ct, flip_io(cw))
+#   d/d(ct) of <cw, dw(x, ct)> = conv3x3(x, cw)
+#   d/d(x)  of <cw, dw(x, ct)> = conv3x3(ct, flip_io(cw))
 
 conv3x3_dw_p = jex_core.Primitive("pggan_conv3x3_dw")
 
 
-def conv3x3_dw(x_nchw: jax.Array, ct_nkhw: jax.Array) -> jax.Array:
+def conv3x3_dw(x_nhcw: jax.Array, ct_nhkw: jax.Array) -> jax.Array:
     """Differentiable (any order) weight gradient of the 3x3 conv."""
-    return conv3x3_dw_p.bind(x_nchw, ct_nkhw)
+    return conv3x3_dw_p.bind(x_nhcw, ct_nhkw)
 
 
 def _dw_abstract(x, ct):
-    n, c, h, w = x.shape
-    assert ct.shape[0] == n and ct.shape[2:] == (h, w), (x.shape, ct.shape)
-    return jax.core.ShapedArray((3, 3, c, ct.shape[1]), x.dtype)
+    n, h, c, w = x.shape
+    assert (ct.shape[0], ct.shape[1], ct.shape[3]) == (n, h, w), \
+        (x.shape, ct.shape)
+    return jax.core.ShapedArray((3, 3, c, ct.shape[2]), x.dtype)
 
 
 def _dw_impl(x, ct):
     # the Mosaic kernel needs lane/sublane-aligned W/H; fall back to the
     # einsum formulation off-TPU or for unsupported shapes
     if _default_interpret() or not supported(x.shape,
-                                             (3, 3, x.shape[1], ct.shape[1])):
+                                             (3, 3, x.shape[2], ct.shape[2])):
         return _dw_einsum(x, ct)
     return conv3x3_dw_small_c(x, ct)
 
@@ -406,8 +464,8 @@ ad.defbilinear(conv3x3_dw_p, _dw_x_transpose, _dw_ct_transpose)
 batching.primitive_batchers[conv3x3_dw_p] = _dw_batch
 
 
-def _lax_conv(x_nchw, w):
-    """Reference NCHW conv (tests + the dw formulation's parity checks)."""
+def _lax_conv(x_nhcw, w):
+    """Reference NHCW conv (tests + the dw formulation's parity checks)."""
     return jax.lax.conv_general_dilated(
-        x_nchw, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        x_nhcw, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHCW", "HWIO", "NHCW"))

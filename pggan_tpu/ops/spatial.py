@@ -1,13 +1,15 @@
-"""NCHW (spatial-lanes) building blocks for the high-resolution model tails.
+"""Spatial-lanes (NHCW) building blocks for the high-resolution model tails.
 
 At the progressive pyramid's high-res stages the channel counts are tiny
 (3..64), so the TPU-native NHWC layout wastes the 128-wide lanes and XLA
 inserts layout copies around every conv (profiled at ~33% of the 1024px
-step, BASELINE.md). These helpers keep those stages **NCHW end-to-end**:
-W sits in the lanes, the 3x3 convs run on the Pallas spatial-lanes primitive
-(ops/pallas_conv.py — differentiable to any order, so safe under WGAN-GP's
-grad-of-grad), and everything else (1x1 convs, pools, upsamples, epilogues)
-is layout-preserving XLA.
+step, BASELINE.md). These helpers keep those stages **NHCW end-to-end** —
+H major, C in the sublanes, W in the lanes: the 3x3 convs run on the Pallas
+spatial-lanes primitive (ops/pallas_conv.py — differentiable to any order,
+so safe under WGAN-GP's grad-of-grad), and everything else (1x1 convs,
+pools, upsamples, epilogues) is layout-preserving XLA. With H major the
+conv kernels fetch edge-clamped halo slabs without alignment over-fetch and
+merge the three row taps into one MXU contraction (see pallas_conv.py).
 
 Semantics mirror the NHWC primitives in ops/primitives.py (reference
 network.py:7-41): equalized-LR scaling folded as a static constant,
@@ -34,8 +36,8 @@ def _act(y: jax.Array, act: str | None) -> jax.Array:
 
 
 def pixelnorm_c(x: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Pixelwise feature norm over the channel axis (dim 1)."""
-    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + eps)
+    """Pixelwise feature norm over the channel axis (dim 2 in NHCW)."""
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=2, keepdims=True) + eps)
 
 
 def conv1x1(params: dict, x: jax.Array, *, wscale: bool = True,
@@ -45,9 +47,9 @@ def conv1x1(params: dict, x: jax.Array, *, wscale: bool = True,
     w = params["w"][0, 0]
     if wscale:
         w = w * he_constant(w.shape[0])
-    y = jnp.einsum("nchw,ck->nkhw", x, w,
+    y = jnp.einsum("nhcw,ck->nhkw", x, w,
                    preferred_element_type=jnp.float32)
-    y = _act(y + params["b"][None, :, None, None], act)
+    y = _act(y + params["b"][None, None, :, None], act)
     return pixelnorm_c(y, eps) if use_pixelnorm else y
 
 
@@ -59,22 +61,22 @@ def conv3x3_block(params: dict, x: jax.Array, *, wscale: bool = True,
     if wscale:
         w = w * he_constant(9 * w.shape[2])
     y = conv3x3(x, w)
-    y = _act(y + params["b"][None, :, None, None], act)
+    y = _act(y + params["b"][None, None, :, None], act)
     return pixelnorm_c(y, eps) if use_pixelnorm else y
 
 
 def avg_pool_2x(x: jax.Array) -> jax.Array:
-    """2x2 stride-2 average pool, NCHW."""
+    """2x2 stride-2 average pool, NHCW."""
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") * 0.25
+        x, 0.0, jax.lax.add, (1, 2, 1, 2), (1, 2, 1, 2), "VALID") * 0.25
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
-    """Nearest 2x upsample, NCHW (reshape+broadcast; fuses with the
-    following conv's pad into one XLA pass)."""
-    n, c, h, w = x.shape
-    x = jnp.broadcast_to(x[:, :, :, None, :, None], (n, c, h, 2, w, 2))
-    return x.reshape(n, c, h * 2, w * 2)
+    """Nearest 2x upsample, NHCW (reshape+broadcast; fuses with the
+    following conv's slab fetch into one XLA pass)."""
+    n, h, c, w = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, :, None], (n, h, 2, c, w, 2))
+    return x.reshape(n, h * 2, c, w * 2)
 
 
 def shard_map_batch(fn, mesh, batch_axis: str, n_array_args: int,
@@ -82,7 +84,7 @@ def shard_map_batch(fn, mesh, batch_axis: str, n_array_args: int,
     """Wrap a (params, arr..., scalar) function in shard_map over the batch
     axis when a >1-device mesh is present. pallas_call is opaque to GSPMD —
     without manual sharding the partitioner would all-gather its operands.
-    The wrapped region must be purely per-example (all NCHW tail/head
+    The wrapped region must be purely per-example (all NHCW tail/head
     subgraphs are).
 
     Args order contract: ``fn(params_pytree, *arrays, scalar)`` where every

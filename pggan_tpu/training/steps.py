@@ -59,7 +59,7 @@ class TrainStepBuilder:
         if mesh is not None:
             # Pallas heads/tails must know the mesh: pallas_call is opaque
             # to GSPMD, so the models wrap their NCHW subgraphs in shard_map
-            # over the batch axis (ops/nchw.py shard_map_batch).
+            # over the batch axis (ops/spatial.py shard_map_batch).
             D.mesh = mesh
             D.batch_axis = batch_axis
             G.mesh = mesh

@@ -17,8 +17,8 @@ from pggan_tpu.ops.pallas_conv import conv3x3_small_c
 
 def main():
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(3, 16, 1024, 1024).astype(np.float32))
-    xh = x.transpose(0, 2, 3, 1)
+    x = jnp.asarray(rng.randn(3, 1024, 16, 1024).astype(np.float32))  # NHCW
+    xh = x.transpose(0, 1, 3, 2)
     w = jnp.asarray((rng.randn(3, 3, 16, 16) * 0.05).astype(np.float32))
 
     pallas_fn = jax.jit(lambda x_, w_: conv3x3_small_c(x_, w_))
@@ -28,7 +28,7 @@ def main():
 
     g1 = pallas_fn(x, w)
     g2 = xla_fn(xh, w)
-    print("max diff:", float(jnp.abs(g1 - g2.transpose(0, 3, 1, 2)).max()))
+    print("max diff:", float(jnp.abs(g1 - g2.transpose(0, 1, 3, 2)).max()))
 
     def sync(r):
         return float(jnp.sum(r[0, 0, :8, :8]))

@@ -1,47 +1,72 @@
 """Spatial-lanes Pallas 3x3 conv vs lax.conv (interpret mode on CPU; the
-compiled kernel was validated bit-accurate and ~2x faster than XLA's conv at
-the (3,16,1024,1024) config on TPU v5e — scripts/bench_pallas_conv.py)."""
+compiled kernels are re-validated on TPU per change — fwd bit-accurate at
+the (3,1024,16,1024) NHCW config, see BASELINE.md)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pggan_tpu.ops.pallas_conv import conv3x3_small_c, supported
+from pggan_tpu.ops.pallas_conv import (
+    _dw_einsum,
+    conv3x3_dw_small_c,
+    conv3x3_small_c,
+    supported,
+)
 
 
-def reference(x_nchw, w):
+def reference(x_nhcw, w):
     return jax.lax.conv_general_dilated(
-        x_nchw.transpose(0, 2, 3, 1), w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC")).transpose(0, 3, 1, 2)
+        x_nhcw, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHCW", "HWIO", "NHCW"))
 
 
-@pytest.mark.parametrize("shape,cout", [((2, 5, 32, 128), 7),
-                                        ((1, 3, 16, 256), 16),
-                                        ((3, 16, 8, 128), 4)])
+# C = 5/3/16/8 covers both compute paths: the merged (K, 3C) @ (3C, W)
+# formulation (C % 8 == 0) and the thin per-tap fallback
+@pytest.mark.parametrize("shape,cout", [((2, 32, 5, 128), 7),
+                                        ((1, 16, 3, 256), 16),
+                                        ((3, 8, 16, 128), 4),
+                                        ((2, 24, 8, 128), 12)])
 def test_matches_lax_conv(shape, cout):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*shape).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, shape[1], cout).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[2], cout).astype(np.float32))
     got = conv3x3_small_c(x, w, interpret=True)
     want = reference(x, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,cout", [((2, 32, 8, 128), 16),
+                                        ((1, 16, 5, 256), 4)])
+def test_dw_kernel_matches_einsum(shape, cout):
+    """The dw kernel's one-pass accumulation (merged and thin paths) must
+    reproduce the shifted-slice einsum formulation."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    ct = jnp.asarray(rng.randn(shape[0], shape[1], cout,
+                               shape[3]).astype(np.float32))
+    got = conv3x3_dw_small_c(x, ct, interpret=True)
+    want = _dw_einsum(x, ct)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_supported_predicate():
-    assert supported((1, 16, 1024, 1024), (3, 3, 16, 16))
-    assert not supported((1, 16, 1024, 100), (3, 3, 16, 16))  # W % 128
-    assert not supported((1, 16, 1024, 1024), (5, 5, 16, 16))  # kernel size
-    assert not supported((1, 8, 1024, 1024), (3, 3, 16, 16))  # C mismatch
+    assert supported((1, 1024, 16, 1024), (3, 3, 16, 16))
+    assert not supported((1, 1024, 16, 100), (3, 3, 16, 16))  # W % 128
+    assert not supported((1, 1024, 16, 1024), (5, 5, 16, 16))  # kernel size
+    assert not supported((1, 1024, 8, 1024), (3, 3, 16, 16))  # C mismatch
+    assert not supported((1, 1024, 12, 1024), (3, 3, 12, 16))  # C % 8
+    assert not supported((1, 1024, 16, 1024), (3, 3, 16, 12))  # K % 8
 
 
 def test_edge_zero_padding_semantics():
     """Borders must see zero padding exactly like lax.conv 'same'."""
-    x = jnp.ones((1, 2, 8, 128), jnp.float32)
+    x = jnp.ones((1, 8, 2, 128), jnp.float32)
     w = jnp.ones((3, 3, 2, 1), jnp.float32)
-    got = np.asarray(conv3x3_small_c(x, w, interpret=True))[0, 0]
-    want = np.asarray(reference(x, w))[0, 0]
+    got = np.asarray(conv3x3_small_c(x, w, interpret=True))[0, :, 0, :]
+    want = np.asarray(reference(x, w))[0, :, 0, :]
     np.testing.assert_allclose(got, want, rtol=1e-6)
     assert got[0, 0] == pytest.approx(8.0)  # corner: 4 taps x 2 channels
     assert got[4, 64] == pytest.approx(18.0)  # interior: 9 taps x 2 channels
@@ -52,8 +77,8 @@ def test_primitive_first_order_matches_lax():
     dw-conv formulation — both must equal the plain lax conv's grads."""
     import pggan_tpu.ops.pallas_conv as pc
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(2, 4, 16, 128).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 16, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
 
     gp = jax.grad(lambda x, w: jnp.sum(jnp.sin(pc.conv3x3(x, w))),
                   argnums=(0, 1))(x, w)
@@ -70,8 +95,8 @@ def test_primitive_grad_of_grad_matches_lax():
     wrapper could not do without falling back to lax derivatives."""
     import pggan_tpu.ops.pallas_conv as pc
     rng = np.random.RandomState(2)
-    x = jnp.asarray(rng.randn(1, 4, 8, 128).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
 
     def gp_like(fn, ww):
         gx = jax.grad(lambda xx: jnp.sum(fn(xx, ww)))(x)
@@ -86,8 +111,8 @@ def test_primitive_grad_of_grad_matches_lax():
 def test_primitive_third_order_and_vmap():
     import pggan_tpu.ops.pallas_conv as pc
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(1, 3, 8, 128).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
 
     def gp2(conv, ww):
         gx = jax.grad(lambda xx: jnp.sum(jnp.tanh(conv(xx, ww))))(x)
@@ -97,7 +122,7 @@ def test_primitive_third_order_and_vmap():
     o2 = jax.grad(jax.grad(lambda s: gp2(pc._lax_conv, w * s)))(jnp.float32(1.))
     np.testing.assert_allclose(float(o1), float(o2), rtol=1e-3)
 
-    xv = jnp.asarray(rng.randn(2, 2, 3, 8, 128).astype(np.float32))
+    xv = jnp.asarray(rng.randn(2, 2, 8, 8, 128).astype(np.float32))
     np.testing.assert_allclose(
         np.asarray(jax.vmap(lambda xx: pc.conv3x3(xx, w))(xv)),
         np.asarray(jax.vmap(lambda xx: pc._lax_conv(xx, w))(xv)),
@@ -111,9 +136,9 @@ def test_discriminator_pallas_tail_matches_reference_path():
     from pggan_tpu.models import Discriminator, Generator
 
     shape = (8, 3, 128, 128)
-    d_p = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
-    d_r = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=False)
-    g = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
+    d_p = Discriminator(shape, fmap_base=512, fmap_max=32, pallas_tail=True)
+    d_r = Discriminator(shape, fmap_base=512, fmap_max=32, pallas_tail=False)
+    g = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
     dp, gp = d_p.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
     assert d_p._pallas_span(5) == 1  # only the 128px entry is lane-aligned
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
@@ -139,17 +164,17 @@ def test_discriminator_pallas_tail_matches_reference_path():
 
 
 def test_generator_pallas_tail_matches_reference_path():
-    """The G high-res NCHW tail (explicit upsample + Pallas convs + toRGB +
+    """The G high-res NHCW tail (explicit upsample + Pallas convs + toRGB +
     blend) must match the fused-scale NHWC path in values (fade and stable)
     and in G-loss gradients (first-order through the frozen D)."""
     from pggan_tpu.losses import wgan_gp_G_loss
     from pggan_tpu.models import Discriminator, Generator
 
     shape = (8, 3, 128, 128)
-    g_p = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
-    g_r = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32,
+    g_p = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
+    g_r = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32,
                     pallas_tail=False)
-    d = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=False)
+    d = Discriminator(shape, fmap_base=512, fmap_max=32, pallas_tail=False)
     gp, dp = g_p.init(jax.random.PRNGKey(0)), d.init(jax.random.PRNGKey(1))
     assert g_p._pallas_tail_start(5) is not None
     z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
@@ -182,9 +207,9 @@ def test_multi_stage_span_matches_reference_path():
     from pggan_tpu.models import Discriminator, Generator
 
     shape = (8, 3, 256, 256)
-    d_p = Discriminator(shape, fmap_base=256, fmap_max=64, pallas_tail=True)
-    d_r = Discriminator(shape, fmap_base=256, fmap_max=64, pallas_tail=False)
-    g = Generator(shape, latent_size=16, fmap_base=256, fmap_max=64)
+    d_p = Discriminator(shape, fmap_base=1024, fmap_max=64, pallas_tail=True)
+    d_r = Discriminator(shape, fmap_base=1024, fmap_max=64, pallas_tail=False)
+    g = Generator(shape, latent_size=16, fmap_base=1024, fmap_max=64)
     dp, gp = d_p.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
     assert d_p._pallas_span(6) == 2
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 256, 3))
@@ -205,8 +230,11 @@ def test_multi_stage_span_matches_reference_path():
     g2 = jax.jit(jax.grad(lambda p: dloss(d_r, p)))(dp)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
+        # atol 2e-4: the merged (K, 3C) dot reassociates float sums, and
+        # the GP's grad-of-grad chain at 256px amplifies the difference
+        # (component-level parity is 5e-6 rel, incl. compiled on TPU)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-5)
+                                   rtol=1e-3, atol=2e-4)
 
 
 def test_sharded_head_matches_unsharded():
@@ -218,9 +246,9 @@ def test_sharded_head_matches_unsharded():
     from pggan_tpu.models import Discriminator, Generator
 
     shape = (8, 3, 128, 128)
-    d_s = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
-    d_1 = Discriminator(shape, fmap_base=128, fmap_max=32, pallas_tail=True)
-    g = Generator(shape, latent_size=16, fmap_base=128, fmap_max=32)
+    d_s = Discriminator(shape, fmap_base=512, fmap_max=32, pallas_tail=True)
+    d_1 = Discriminator(shape, fmap_base=512, fmap_max=32, pallas_tail=True)
+    g = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
     dp, gp = d_s.init(jax.random.PRNGKey(0)), g.init(jax.random.PRNGKey(1))
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
     d_s.mesh = mesh
