@@ -75,7 +75,10 @@ class Generator:
     # when its conv resolution 2**(i+3) is lane-aligned (>=128, %128) and its
     # input channel count nf(i+1) is small enough that NHWC wastes lanes.
     _pallas_min_res = 128
-    _pallas_max_cin = 64
+    _pallas_max_cin = 32  # C=64 stages (128px in the paper config) measured
+    # FASTER on XLA's NHWC path: 64 channels half-fill the lanes and the
+    # stage is MXU-bound, so the layout tax the kernels remove is small
+    # (depth-5 self-time 40.8 ms XLA vs 56.9 pallas; BASELINE.md)
     # set by TrainStepBuilder when training over a device mesh (see
     # ops/spatial.py shard_map_batch)
     mesh = None
