@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from pggan_tpu.ops.pallas_conv import conv3x3
 from pggan_tpu.ops.primitives import he_constant, leaky_relu
+from pggan_tpu.ops.resample import avg_pool_2x as _avg_pool_2x
+from pggan_tpu.ops.resample import upsample_2x as _upsample_2x
 
 
 def _act(y: jax.Array, act: str | None) -> jax.Array:
@@ -66,17 +68,16 @@ def conv3x3_block(params: dict, x: jax.Array, *, wscale: bool = True,
 
 
 def avg_pool_2x(x: jax.Array) -> jax.Array:
-    """2x2 stride-2 average pool, NHCW."""
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 1, 2), (1, 2, 1, 2), "VALID") * 0.25
+    """2x2 stride-2 average pool, NHCW (linear primitive whose transpose is
+    the fast nearest-upsample — see ops/resample.py)."""
+    return _avg_pool_2x(x, h_axis=1, w_axis=3)
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
-    """Nearest 2x upsample, NHCW (reshape+broadcast; fuses with the
-    following conv's slab fetch into one XLA pass)."""
-    n, h, c, w = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, :, None], (n, h, 2, c, w, 2))
-    return x.reshape(n, h * 2, c, w * 2)
+    """Nearest 2x upsample, NHCW (linear primitive whose transpose is the
+    fast pool; the concat-based impl beats broadcast+reshape ~3.7x on TPU —
+    see ops/resample.py)."""
+    return _upsample_2x(x, h_axis=1, w_axis=3)
 
 
 def shard_map_batch(fn, mesh, batch_axis: str, n_array_args: int,
