@@ -59,7 +59,7 @@ def _default_interpret() -> bool:
         return True
 
 
-def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, T, TH, H, W):
+def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, N, T, TH, H, W):
     """DMA the halo window rows [t*TH - 1, t*TH + TH + 1) of image ``n``
     (layout N, H, C, W) into ``slab`` so that slab row ``s`` holds global
     row ``t*TH - 1 + s`` and slab column ``128 + j`` holds global column
@@ -75,68 +75,89 @@ def _fetch_halo_slab(x_hbm, slab, sem, n, t, *, T, TH, H, W):
     rows (0 at the top edge, TH+1 at the bottom) are zeroed; halo columns
     127 and 128+W are never DMA'd and stay zero from the one-time
     full-slab zero at the first grid step.
+
+    Double-buffered: ``slab`` holds TWO slots and each step waits on the
+    DMA its predecessor started, then prefetches the NEXT window into the
+    other slot before computing — the fetch rides under the MXU work
+    instead of serializing with it. Returns the slot index to compute
+    from.
     """
-    first = jnp.logical_and(n == 0, t == 0)
+    def emit(slot, n_, t_, action):
+        """Start or wait the window DMA for grid step (n_, t_) into the
+        given slab slot. The wait rebuilds the same descriptor the start
+        used (standard Pallas idiom), so the per-edge branch structure must
+        match — hence one helper for both actions."""
+        def dma(src_lo, rows, dst_lo):
+            d = pltpu.make_async_copy(
+                x_hbm.at[n_, pl.ds(src_lo, rows), :, :],
+                slab.at[slot, pl.ds(dst_lo, rows), :, pl.ds(128, W)],
+                sem.at[slot])
+            getattr(d, action)()
 
-    @pl.when(first)
-    def _():
-        slab[...] = jnp.zeros_like(slab)
-
-    def dma(src_lo, rows, dst_lo):
-        return pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(src_lo, rows), :, :],
-            slab.at[pl.ds(dst_lo, rows), :, pl.ds(128, W)], sem)
-
-    if T == 1:
-        d = dma(0, H, 1)
-        d.start()
-        d.wait()
-    else:
-        @pl.when(t == 0)
-        def _():
-            d = dma(0, TH + 1, 1)
-            d.start()
-            d.wait()
-
-        if T > 2:
-            @pl.when(jnp.logical_and(t > 0, t < T - 1))
+        if T == 1:
+            dma(0, H, 1)
+        else:
+            @pl.when(t_ == 0)
             def _():
-                d = dma(t * TH - 1, TH + 2, 0)
-                d.start()
-                d.wait()
+                dma(0, TH + 1, 1)
 
-        @pl.when(t == T - 1)
+            if T > 2:
+                @pl.when(jnp.logical_and(t_ > 0, t_ < T - 1))
+                def _():
+                    dma(t_ * TH - 1, TH + 2, 0)
+
+            @pl.when(t_ == T - 1)
+            def _():
+                dma((T - 1) * TH - 1, TH + 1, 0)
+
+    g = n * T + t
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        # zero both slots once: the halo columns (127 and 128+W) are never
+        # DMA'd and must read as zero-padding for every window
+        slab[...] = jnp.zeros_like(slab)
+        emit(0, 0, 0, "start")
+
+    emit(slot, n, t, "wait")  # started at the previous step (or just above)
+
+    if N * T > 1:  # double buffering: prefetch the next window over compute
+        @pl.when(g + 1 < N * T)
         def _():
-            d = dma((T - 1) * TH - 1, TH + 1, 0)
-            d.start()
-            d.wait()
+            last_t = t == T - 1
+            emit(1 - slot, jnp.where(last_t, n + 1, n),
+                 jnp.where(last_t, 0, t + 1), "start")
 
     # zero-pad rows: global row -1 (slab row 0) at the top edge, global row
     # H (slab row TH+1) at the bottom. Middle blocks DMA real data over both.
     @pl.when(t == 0)
     def _():
-        slab[0:1] = jnp.zeros_like(slab[0:1])
+        slab[slot, 0:1] = jnp.zeros_like(slab[slot, 0:1])
 
     @pl.when(t == T - 1)
     def _():
-        slab[TH + 1:TH + 2] = jnp.zeros_like(slab[TH + 1:TH + 2])
+        slab[slot, TH + 1:TH + 2] = jnp.zeros_like(slab[slot, TH + 1:TH + 2])
+
+    return slot
 
 
-def _taps(slab, r, v, *, C, W, merged):
+def _taps(slab, slot, r, v, *, C, W, merged):
     """The 3x3 window operands for output row ``r``, lane shift ``v``:
-    slab rows r..r+3 hold global rows r-1..r+2 of the current block, slab
+    slot rows r..r+3 hold global rows r-1..r+2 of the current block, slab
     column 127+v+j holds global column j + (v-1)."""
     if merged:
         # one (3C, W) operand per lane shift: the three row taps merge into
         # the contraction via a tile-aligned value reshape (C % 8 == 0)
-        return slab[r:r + 3, :, 127 + v:127 + v + W].reshape(-1, W)
-    return [slab[r + u, :, 127 + v:127 + v + W] for u in range(3)]
+        return slab[slot, r:r + 3, :, 127 + v:127 + v + W].reshape(-1, W)
+    return [slab[slot, r + u, :, 127 + v:127 + v + W] for u in range(3)]
 
 
-def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H):
+def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H, N):
     n = pl.program_id(0)
     t = pl.program_id(1)
-    _fetch_halo_slab(x_hbm, slab, sem, n, t, T=H // TH, TH=TH, H=H, W=W)
+    slot = _fetch_halo_slab(x_hbm, slab, sem, n, t,
+                            N=N, T=H // TH, TH=TH, H=H, W=W)
 
     # Per output row: three accumulated MXU dots (K, 3C) @ (3C, W), one per
     # lane shift v, when C is tile-aligned — nine thin (K, C) @ (C, W) dots
@@ -147,7 +168,7 @@ def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H):
     for r in range(TH):
         acc = jnp.zeros((K, W), jnp.float32)
         for v in range(3):
-            ops = _taps(slab, r, v, C=C, W=W, merged=merged)
+            ops = _taps(slab, slot, r, v, C=C, W=W, merged=merged)
             if merged:
                 acc = acc + jnp.dot(wt_ref[v], ops,
                                     preferred_element_type=jnp.float32)
@@ -211,7 +232,7 @@ def conv3x3_small_c(x_nhcw: jax.Array, w_hwio: jax.Array,
     wt = _weights_3k3c(w_hwio)
 
     y = pl.pallas_call(
-        partial(_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
+        partial(_kernel, C=c, K=k, TH=th, W=w_dim, H=h, N=n),
         out_shape=jax.ShapeDtypeStruct((n, h, k, w_dim), jnp.float32),
         grid=(n, h // th),
         in_specs=[
@@ -223,8 +244,8 @@ def conv3x3_small_c(x_nhcw: jax.Array, w_hwio: jax.Array,
                                lambda n_, t_: (n_, t_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, c, w_dim + 256), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, c, w_dim + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_nhcw, wt)
@@ -243,11 +264,12 @@ def conv3x3_small_c(x_nhcw: jax.Array, w_hwio: jax.Array,
 # per tap. Reading each operand ONCE is the bandwidth floor.
 
 
-def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H):
+def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H, N):
     n = pl.program_id(0)
     t = pl.program_id(1)
     T = H // TH
-    _fetch_halo_slab(x_hbm, slab, sem, n, t, T=T, TH=TH, H=H, W=W)
+    slot = _fetch_halo_slab(x_hbm, slab, sem, n, t,
+                            N=N, T=T, TH=TH, H=H, W=W)
 
     @pl.when(jnp.logical_and(n == 0, t == 0))
     def _():
@@ -261,7 +283,7 @@ def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H):
             ct_row = ct_ref[0, r]  # (K, W)
             for v in range(3):
                 accs[v] = accs[v] + jax.lax.dot_general(
-                    _taps(slab, r, v, C=C, W=W, merged=True), ct_row,
+                    _taps(slab, slot, r, v, C=C, W=W, merged=True), ct_row,
                     dims, preferred_element_type=jnp.float32)
     else:
         accs9 = [[jnp.zeros((C, K), jnp.float32) for _ in range(3)]
@@ -269,7 +291,7 @@ def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H):
         for r in range(TH):
             ct_row = ct_ref[0, r]
             for v in range(3):
-                ops = _taps(slab, r, v, C=C, W=W, merged=False)
+                ops = _taps(slab, slot, r, v, C=C, W=W, merged=False)
                 for u in range(3):
                     accs9[u][v] = accs9[u][v] + jax.lax.dot_general(
                         ops[u], ct_row, dims,
@@ -290,7 +312,7 @@ def conv3x3_dw_small_c(x_nhcw: jax.Array, ct_nhkw: jax.Array,
     assert ct_nhkw.shape == (n, h, k, w_dim), (x_nhcw.shape, ct_nhkw.shape)
     th = _pick_th(h)
     dw = pl.pallas_call(
-        partial(_dw_kernel, C=c, K=k, TH=th, W=w_dim, H=h),
+        partial(_dw_kernel, C=c, K=k, TH=th, W=w_dim, H=h, N=n),
         out_shape=jax.ShapeDtypeStruct((3, 3 * c, k), jnp.float32),
         grid=(n, h // th),
         in_specs=[
@@ -303,8 +325,8 @@ def conv3x3_dw_small_c(x_nhcw: jax.Array, ct_nhkw: jax.Array,
         out_specs=pl.BlockSpec((3, 3 * c, k), lambda n_, t_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, c, w_dim + 256), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, c, w_dim + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_nhcw, ct_nhkw)
