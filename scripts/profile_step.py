@@ -90,13 +90,16 @@ def main():
     rows.sort(key=lambda d: -(d.get("Total self time (us)") or 0))
     for d in rows[:25]:
         t = d.get("Total self time (us)") or 0
-        name = (d.get("HLO name") or "?")[:60]
-        expr = (d.get("HLO expression") or d.get("Op expression") or "")
+        fw = (d.get("Framework op name") or "").replace(
+            "jit(step)/", "").replace("while/body/closed_call/", "W/")[:90]
+        txt = d.get("HLO op text") or ""
+        shape = txt.split(" = ")[1][:55] if " = " in txt else ""
+        bw = d.get("Measured memory BW (GiB/s)")
+        bw = f"{float(bw):.0f}" if bw not in (None, "") else "?"
         print(f"{t / total * 100:5.1f}%  {t / (n_steps * 1e3):7.2f} ms/step  "
-              f"{d.get('HLO op category'):>18}  {d.get('Bound by'):>8}  "
-              f"{name}")
-        if expr:
-            print(f"         {expr[:150]}")
+              f"bw={bw:>5}  {d.get('HLO op category'):>18}  {fw}")
+        if shape:
+            print(f"         {shape}")
 
 
 if __name__ == "__main__":
