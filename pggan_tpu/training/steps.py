@@ -107,8 +107,19 @@ class TrainStepBuilder:
                 d_params = apply_updates(d_params, updates, lr_d)
                 return (d_params, d_opt, rng), (cost, d_real, d_fake)
 
-            (d_params, d_opt, rng), (costs, drs, dfs) = jax.lax.scan(
-                d_phase, (state.d_params, state.d_opt, state.rng), reals)
+            carry = (state.d_params, state.d_opt, state.rng)
+            if self.d_training_repeats == 1:
+                # scan would wrap the whole D phase in an XLA while loop —
+                # an optimization barrier the default single-repeat config
+                # doesn't need
+                (d_params, d_opt, rng), (cost1, dr1, df1) = d_phase(
+                    carry, reals[0])
+                costs, drs, dfs = (jnp.expand_dims(cost1, 0),
+                                   jnp.expand_dims(dr1, 0),
+                                   jnp.expand_dims(df1, 0))
+            else:
+                (d_params, d_opt, rng), (costs, drs, dfs) = jax.lax.scan(
+                    d_phase, carry, reals)
 
             rng, kz = jax.random.split(rng)
             z = jax.random.normal(kz, (batch_size, latent_size), jnp.float32)
