@@ -311,14 +311,15 @@ def _dw_kernel(x_hbm, ct_ref, dw_ref, slab, sem, *, C, K, TH, W, H, N):
 
 
 def conv3x3_dw_small_c(x_nhcw: jax.Array, ct_nhkw: jax.Array,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       th: int | None = None) -> jax.Array:
     """Weight gradient of the same-padding 3x3 conv: (x, dy) -> (3,3,C,K)."""
     if interpret is None:
         interpret = _default_interpret()
     n, h, c, w_dim = x_nhcw.shape
     k = ct_nhkw.shape[2]
     assert ct_nhkw.shape == (n, h, k, w_dim), (x_nhcw.shape, ct_nhkw.shape)
-    th = _pick_th(h, c, k, w_dim)
+    th = th or _pick_th(h, c, k, w_dim)
     dw = pl.pallas_call(
         partial(_dw_kernel, C=c, K=k, TH=th, W=w_dim, H=h, N=n),
         out_shape=jax.ShapeDtypeStruct((3, 3 * c, k), jnp.float32),

@@ -52,6 +52,29 @@ def test_dw_kernel_matches_einsum(shape, cout):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("th,shape,cout", [
+    (8, (2, 24, 8, 128), 8),    # T=3, image rollover mid-pipeline
+    (8, (1, 16, 8, 128), 16),   # T=2: both edge branches, no middle
+    (16, (3, 48, 16, 128), 8),  # T=3 with N=3 rollovers
+])
+def test_double_buffer_grid_edges(th, shape, cout):
+    """The double-buffered halo pipeline must stay correct across block
+    boundaries: the wait must pair with the predecessor's start (including
+    the cross-image rollover) and the edge zeroing must hit the right
+    slot."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[2], cout).astype(np.float32))
+    got = conv3x3_small_c(x, w, interpret=True, th=th)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(reference(x, w)),
+                               rtol=1e-4, atol=1e-4)
+    ct = jnp.asarray(rng.randn(shape[0], shape[1], cout,
+                               shape[3]).astype(np.float32))
+    dw = conv3x3_dw_small_c(x, ct, interpret=True, th=th)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(_dw_einsum(x, ct)),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_supported_predicate():
     assert supported((1, 1024, 16, 1024), (3, 3, 16, 16))
     assert not supported((1, 1024, 16, 100), (3, 3, 16, 16))  # W % 128
