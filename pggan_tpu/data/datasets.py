@@ -395,6 +395,17 @@ class SoundImageDataset(DefaultImageFolderDataset):
             img = sig[:(2 ** size) ** 2].reshape(2 ** size, 2 ** size)
         else:
             S = stft_np(sig, self.n_fft, self.hop_length)
+            if S.shape[1] < self.n_fft // 2:
+                # the reference crashes later with a cryptic shape error in
+                # the pyramid downsample (its phase-strided slices disagree
+                # on a non-square image); fail early and say why
+                need = (self.n_fft // 2 - 1) * self.hop_length
+                raise ValueError(
+                    f"{self.files[item]}: {sig.shape[0]} samples yield only "
+                    f"{S.shape[1]} STFT frames — a square "
+                    f"{self.n_fft // 2}x{self.n_fft // 2} {self.img_mode} "
+                    f"image needs >= {need} samples "
+                    f"(n_fft={self.n_fft}, hop={self.hop_length})")
             S = S[:self.n_fft // 2, :self.n_fft // 2]
             if self.img_mode == "abslog":
                 img = np.log1p(np.abs(S))

@@ -174,14 +174,23 @@ def test_sound_preload_short_file_falls_back_to_host(tmp_path):
     # (so the host path still builds a valid pyramid) but short of the
     # 4096-sample no-end-reflection window the device path requires
     # (ops/stft.py sound_image_signal_length) -> preload must fall back
-    # to the per-file host STFT. Genuinely-too-short files crash at
-    # pyramid build exactly like the reference (dataset.py:293-296 +
-    # its phase-strided downsample) — that parity is intentional.
+    # to the per-file host STFT. Genuinely-too-short files raise a clear
+    # ValueError instead (next test).
     _write_wavs(str(tmp_path), n=1, num_samples=4032)
     ds = SoundImageDataset(str(tmp_path), img_mode="abslog", n_fft=128,
                            hop_length=64, preload=True)
     host = ds.load_file(0)
     np.testing.assert_array_equal(ds.data[ds.max_dataset_depth][0], host)
+
+
+def test_sound_too_short_file_raises_clear_error(tmp_path):
+    # genuinely too short even for the host path: the reference would crash
+    # later with a cryptic non-square shape error in the pyramid downsample;
+    # we fail early naming the file and the required sample count
+    _write_wavs(str(tmp_path), n=1, num_samples=3000)
+    with pytest.raises(ValueError, match="needs >= 4032 samples"):
+        SoundImageDataset(str(tmp_path), img_mode="abslog", n_fft=128,
+                          hop_length=64, preload=True)
 
 
 def test_infinite_sampler_covers_all():
