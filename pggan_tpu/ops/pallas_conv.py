@@ -153,7 +153,29 @@ def _taps(slab, slot, r, v, *, C, W, merged):
     return [slab[slot, r + u, :, 127 + v:127 + v + W] for u in range(3)]
 
 
-def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H, N):
+def _kernel(*refs, C, K, TH, W, H, N, slope=None, pn_eps=None,
+            has_bias=False):
+    """Forward kernel, optionally with the layer epilogue fused in VMEM.
+
+    A pallas_call is opaque to XLA fusion, so the reference epilogue
+    (bias -> (leaky)ReLU -> pixelnorm, network.py:32-41) after this kernel
+    would be a separate full-tensor HBM read+write pass — profiled at ~60%
+    of the depth-8 train step (BASELINE.md). With ``has_bias``/``slope``/
+    ``pn_eps`` set, the epilogue is applied to the (K, W) accumulator before
+    the output DMA instead: bias broadcasts from a (K, 1) VMEM block, the
+    activation is one VPU select, and pixelnorm's per-(h, w) channel
+    reduction runs over the sublane dim (C lives whole in each block, no
+    cross-block communication). The pixelnorm variant emits a second output
+    ``r = rsqrt(mean_C(z^2) + eps)`` of shape (N, H, W) — 1/K the activation
+    size — which the JVP rule needs to stay closed under any-order AD.
+    """
+    it = iter(refs)
+    x_hbm, wt_ref = next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    y_ref = next(it)
+    r_ref = next(it) if pn_eps is not None else None
+    slab, sem = next(it), next(it)
+
     n = pl.program_id(0)
     t = pl.program_id(1)
     slot = _fetch_halo_slab(x_hbm, slab, sem, n, t,
@@ -177,7 +199,17 @@ def _kernel(x_hbm, wt_ref, y_ref, slab, sem, *, C, K, TH, W, H, N):
                     acc = acc + jnp.dot(wt_ref[v, :, u * C:(u + 1) * C],
                                         ops[u],
                                         preferred_element_type=jnp.float32)
-        y_ref[0, r] = acc
+        if has_bias:
+            acc = acc + b_ref[:]  # (K, 1) broadcast over lanes
+        if slope is not None:
+            acc = jnp.where(acc >= 0, acc, acc * slope)
+        if pn_eps is not None:
+            rrow = jax.lax.rsqrt(
+                jnp.mean(acc * acc, axis=0, keepdims=True) + pn_eps)
+            y_ref[0, r] = acc * rrow
+            r_ref[0, r:r + 1] = rrow
+        else:
+            y_ref[0, r] = acc
 
 
 def _pick_th(h: int, c: int, k: int, w: int) -> int:
@@ -258,6 +290,59 @@ def conv3x3_small_c(x_nhcw: jax.Array, w_hwio: jax.Array,
         interpret=interpret,
     )(x_nhcw, wt)
     return y
+
+
+def conv3x3_act_small_c(x_nhcw: jax.Array, w_hwio: jax.Array, b: jax.Array,
+                        *, slope: float, pn_eps: float | None = None,
+                        interpret: bool | None = None, th: int | None = None):
+    """Fused conv + epilogue: bias -> leaky-relu(slope) -> optional
+    pixelnorm, all applied to the accumulator in VMEM (see _kernel).
+
+    Returns the activated output (N, H, K, W); with ``pn_eps`` set, returns
+    ``(o, r)`` where ``r = rsqrt(mean_C(z^2) + pn_eps)`` of shape (N, H, W)
+    is the pixelnorm scale the AD rules close on.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    n, h, c, w_dim = x_nhcw.shape
+    assert _shape_ok(x_nhcw.shape, w_hwio.shape), \
+        (x_nhcw.shape, w_hwio.shape)
+    assert interpret or supported(x_nhcw.shape, w_hwio.shape), \
+        (x_nhcw.shape, w_hwio.shape)
+    k = w_hwio.shape[-1]
+    assert b.shape == (k,), (b.shape, k)
+    th = th or _pick_th(h, c, k, w_dim)
+    wt = _weights_3k3c(w_hwio)
+
+    out_shape = [jax.ShapeDtypeStruct((n, h, k, w_dim), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, th, k, w_dim),
+                              lambda n_, t_: (n_, t_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if pn_eps is not None:
+        out_shape.append(jax.ShapeDtypeStruct((n, h, w_dim), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, th, w_dim),
+                                      lambda n_, t_: (n_, t_, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        partial(_kernel, C=c, K=k, TH=th, W=w_dim, H=h, N=n,
+                slope=float(slope), pn_eps=pn_eps, has_bias=True),
+        out_shape=tuple(out_shape) if pn_eps is not None else out_shape[0],
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # whole (unpadded) x in HBM
+            pl.BlockSpec((3, k, 3 * c), lambda n_, t_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda n_, t_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs) if pn_eps is not None else out_specs[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, c, w_dim + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_nhcw, wt, b.reshape(k, 1))
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -476,10 +561,18 @@ def _dw_ct_transpose(cw, x, _ct_undef):
 
 
 def _dw_batch(args, dims):
+    # one-sided vmap broadcasts the unbatched operand (ADVICE r2); the
+    # batched case lowers to per-example binds — O(b) launches, acceptable
+    # because the training step never vmaps this primitive (grads arrive
+    # pre-summed over the batch) and test batches are tiny
     x, ct = args
     bx, bct = dims
-    if bx is None or bct is None:
-        raise NotImplementedError("vmap over one conv3x3_dw operand")
+    if bx is None:
+        b = ct.shape[bct]
+        x, bx = jnp.broadcast_to(x[None], (b,) + x.shape), 0
+    if bct is None:
+        b = x.shape[bx]
+        ct, bct = jnp.broadcast_to(ct[None], (b,) + ct.shape), 0
     x = jnp.moveaxis(x, bx, 0)
     ct = jnp.moveaxis(ct, bct, 0)
     b = x.shape[0]
@@ -493,6 +586,155 @@ mlir.register_lowering(
     conv3x3_dw_p, mlir.lower_fun(_dw_impl, multiple_results=False))
 ad.defbilinear(conv3x3_dw_p, _dw_x_transpose, _dw_ct_transpose)
 batching.primitive_batchers[conv3x3_dw_p] = _dw_batch
+
+
+# ---------------------------------------------------------------------------
+# Fused conv+epilogue primitives: bias -> leaky-relu -> (pixelnorm).
+# ---------------------------------------------------------------------------
+# Why primitives with hand-written JVP rules rather than custom_jvp
+# wrappers: the rules must (a) skip ad.Zero tangent terms so the GP's
+# grad-wrt-input doesn't run a dead conv3x3(x, 0) kernel, and (b) stay
+# differentiable to ANY order — achieved by re-binding the fused primitive
+# for the primal inside its own rule and expressing every tangent term via
+# the bilinear conv3x3/conv3x3_dw primitives plus elementwise ops.
+#
+# The closure trick: for slope > 0, sign(o) == sign(z) == sign(y), so the
+# activation mask is recoverable from the OUTPUT — no pre-activation
+# residual needs to leave the kernel. For pixelnorm the kernel additionally
+# emits r = rsqrt(mean_C(z^2)+eps); with o = z*r the whole JVP closes on
+# (o, r):  tz = mask * ty;  s = mean_C(o * tz);
+#          to = r * (tz - o * s);   tr = -r^2 * s.
+# (slope == 0, i.e. hard ReLU, destroys the sign information — callers fall
+# back to the unfused composition; the reference default is leaky 0.2.)
+
+conv3x3_act_p = jex_core.Primitive("pggan_conv3x3_act")
+conv3x3_act_pn_p = jex_core.Primitive("pggan_conv3x3_act_pn")
+conv3x3_act_pn_p.multiple_results = True
+
+
+def conv3x3_act(x_nhcw: jax.Array, w_hwio: jax.Array, b: jax.Array,
+                *, slope: float) -> jax.Array:
+    """Fused leaky_relu(conv3x3(x, w) + b, slope); any-order differentiable.
+
+    Requires slope > 0 (the mask-from-output closure; reference epilogue
+    network.py:32-36 with the default LeakyReLU(0.2)).
+    """
+    assert slope > 0, "fused epilogue requires a leaky slope (see module)"
+    return conv3x3_act_p.bind(x_nhcw, w_hwio, b, slope=float(slope))
+
+
+def conv3x3_act_pn(x_nhcw: jax.Array, w_hwio: jax.Array, b: jax.Array,
+                   *, slope: float, eps: float = 1e-8) -> jax.Array:
+    """Fused pixelnorm(leaky_relu(conv3x3(x, w) + b)); any-order
+    differentiable (reference epilogue network.py:32-41)."""
+    assert slope > 0, "fused epilogue requires a leaky slope (see module)"
+    o, _r = conv3x3_act_pn_p.bind(x_nhcw, w_hwio, b,
+                                  slope=float(slope), eps=float(eps))
+    return o
+
+
+def _act_out_aval(x, w, b):
+    assert supported(x.shape, w.shape), (x.shape, w.shape)
+    assert b.shape == (w.shape[-1],), (b.shape, w.shape)
+    n, h, _c, wd = x.shape
+    return jax.core.ShapedArray((n, h, w.shape[-1], wd), x.dtype)
+
+
+def _conv_tangent(x, w, tx, tw, tb, out_shape):
+    """Tangent of conv3x3(x, w) + b — terms for non-Zero tangents only."""
+    total = None
+    if type(tx) is not ad.Zero:
+        total = conv3x3(tx, w)
+    if type(tw) is not ad.Zero:
+        t = conv3x3(x, tw)
+        total = t if total is None else total + t
+    if type(tb) is not ad.Zero:
+        t = tb[None, None, :, None]
+        total = (jnp.broadcast_to(t, out_shape) if total is None
+                 else total + t)
+    return total
+
+
+def _act_jvp(primals, tangents, *, slope):
+    x, w, b = primals
+    o = conv3x3_act_p.bind(x, w, b, slope=slope)  # re-bind: stays closed
+    ty = _conv_tangent(x, w, *tangents, o.shape)
+    if ty is None:
+        return o, ad.Zero.from_primal_value(o)
+    mask = jnp.where(o >= 0, jnp.float32(1.0), jnp.float32(slope))
+    return o, ty * mask
+
+
+def _act_pn_jvp(primals, tangents, *, slope, eps):
+    x, w, b = primals
+    o, r = conv3x3_act_pn_p.bind(x, w, b, slope=slope, eps=eps)
+    ty = _conv_tangent(x, w, *tangents, o.shape)
+    if ty is None:
+        return [o, r], [ad.Zero.from_primal_value(o),
+                        ad.Zero.from_primal_value(r)]
+    mask = jnp.where(o >= 0, jnp.float32(1.0), jnp.float32(slope))
+    tz = ty * mask
+    rb = r[:, :, None, :]
+    s = jnp.mean(o * tz, axis=2, keepdims=True)  # mean_C(o * tz), (N,H,1,W)
+    to = rb * (tz - o * s)
+    tr = -(r * r) * s[:, :, 0, :]
+    return [o, r], [to, tr]
+
+
+def _act_impl(x, w, b, *, slope):
+    return conv3x3_act_small_c(x, w, b, slope=slope, pn_eps=None)
+
+
+def _act_pn_impl(x, w, b, *, slope, eps):
+    return conv3x3_act_small_c(x, w, b, slope=slope, pn_eps=eps)
+
+
+def _act_batch(args, dims, *, slope):
+    x, w, b = args
+    bx, bw, bb = dims
+    if bw is not None or bb is not None or bx is None:
+        raise NotImplementedError("vmap over conv3x3_act weights/bias")
+    x = jnp.moveaxis(x, bx, 0)
+    bsz, n = x.shape[:2]
+    y = conv3x3_act_p.bind(x.reshape((bsz * n,) + x.shape[2:]), w, b,
+                           slope=slope)
+    return y.reshape((bsz, n) + y.shape[1:]), 0
+
+
+def _act_pn_batch(args, dims, *, slope, eps):
+    x, w, b = args
+    bx, bw, bb = dims
+    if bw is not None or bb is not None or bx is None:
+        raise NotImplementedError("vmap over conv3x3_act_pn weights/bias")
+    x = jnp.moveaxis(x, bx, 0)
+    bsz, n = x.shape[:2]
+    o, r = conv3x3_act_pn_p.bind(x.reshape((bsz * n,) + x.shape[2:]), w, b,
+                                 slope=slope, eps=eps)
+    return ([o.reshape((bsz, n) + o.shape[1:]),
+             r.reshape((bsz, n) + r.shape[1:])], [0, 0])
+
+
+conv3x3_act_p.def_abstract_eval(
+    lambda x, w, b, *, slope: _act_out_aval(x, w, b))
+conv3x3_act_p.def_impl(_act_impl)
+mlir.register_lowering(
+    conv3x3_act_p, mlir.lower_fun(_act_impl, multiple_results=False))
+ad.primitive_jvps[conv3x3_act_p] = _act_jvp
+batching.primitive_batchers[conv3x3_act_p] = _act_batch
+
+
+def _act_pn_abstract(x, w, b, *, slope, eps):
+    o = _act_out_aval(x, w, b)
+    n, h, _k, wd = o.shape
+    return [o, jax.core.ShapedArray((n, h, wd), x.dtype)]
+
+
+conv3x3_act_pn_p.def_abstract_eval(_act_pn_abstract)
+conv3x3_act_pn_p.def_impl(_act_pn_impl)
+mlir.register_lowering(
+    conv3x3_act_pn_p, mlir.lower_fun(_act_pn_impl, multiple_results=True))
+ad.primitive_jvps[conv3x3_act_pn_p] = _act_pn_jvp
+batching.primitive_batchers[conv3x3_act_pn_p] = _act_pn_batch
 
 
 def _lax_conv(x_nhcw, w):

@@ -21,7 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pggan_tpu.ops.pallas_conv import conv3x3
+import os
+
+from pggan_tpu.ops.pallas_conv import conv3x3, conv3x3_act, conv3x3_act_pn
 from pggan_tpu.ops.primitives import he_constant, leaky_relu
 from pggan_tpu.ops.resample import avg_pool_2x as _avg_pool_2x
 from pggan_tpu.ops.resample import upsample_2x as _upsample_2x
@@ -58,10 +60,23 @@ def conv1x1(params: dict, x: jax.Array, *, wscale: bool = True,
 def conv3x3_block(params: dict, x: jax.Array, *, wscale: bool = True,
                   act: str | None = "lrelu", use_pixelnorm: bool = True,
                   eps: float = 1e-8) -> jax.Array:
-    """Equalized 3x3 conv (Pallas spatial-lanes) + bias/act/pixelnorm."""
+    """Equalized 3x3 conv (Pallas spatial-lanes) + bias/act/pixelnorm.
+
+    The epilogue is fused INTO the kernel (computed on the VMEM accumulator
+    before the output DMA) whenever the activation is leaky — a pallas_call
+    is opaque to XLA fusion, so the composed form pays a separate
+    full-tensor HBM read+write per conv (~60% of the depth-8 step,
+    BASELINE.md). ``PGGAN_FUSE_EPILOGUE=0`` restores the composition (A/B
+    benchmarking); hard ReLU (slope 0) always composes — the fused rules
+    need the leaky sign closure (ops/pallas_conv.py).
+    """
     w = params["w"]
     if wscale:
         w = w * he_constant(9 * w.shape[2])
+    if act == "lrelu" and os.environ.get("PGGAN_FUSE_EPILOGUE", "1") != "0":
+        if use_pixelnorm:
+            return conv3x3_act_pn(x, w, params["b"], slope=0.2, eps=eps)
+        return conv3x3_act(x, w, params["b"], slope=0.2)
     y = conv3x3(x, w)
     y = _act(y + params["b"][None, None, :, None], act)
     return pixelnorm_c(y, eps) if use_pixelnorm else y

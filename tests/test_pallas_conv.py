@@ -152,6 +152,80 @@ def test_primitive_third_order_and_vmap():
         rtol=1e-4, atol=1e-4)
 
 
+def _epilogue_composed(x, w, b, pn, eps=1e-8):
+    y = reference(x, w) + b[None, None, :, None]
+    z = jnp.where(y >= 0, y, 0.2 * y)
+    if pn:
+        z = z * jax.lax.rsqrt(jnp.mean(z * z, axis=2, keepdims=True) + eps)
+    return z
+
+
+@pytest.mark.parametrize("pn", [False, True])
+@pytest.mark.parametrize("shape,cout", [((2, 16, 8, 128), 16),
+                                        ((1, 24, 16, 256), 8)])
+def test_fused_epilogue_matches_composition(pn, shape, cout):
+    """The in-kernel epilogue (bias -> lrelu -> optional pixelnorm) must be
+    numerically identical to the composed form, incl. first-order grads in
+    all three operands."""
+    import pggan_tpu.ops.pallas_conv as pc
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[2], cout).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32))
+    fused = ((lambda x, w, b: pc.conv3x3_act_pn(x, w, b, slope=0.2)) if pn
+             else (lambda x, w, b: pc.conv3x3_act(x, w, b, slope=0.2)))
+    ref = lambda x, w, b: _epilogue_composed(x, w, b, pn)  # noqa: E731
+    np.testing.assert_allclose(np.asarray(fused(x, w, b)),
+                               np.asarray(ref(x, w, b)),
+                               rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a))), (0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))), (0, 1, 2))(x, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("pn", [False, True])
+def test_fused_epilogue_grad_of_grad(pn):
+    """The fused primitives' JVP rules close on themselves: WGAN-GP's
+    reverse-over-reverse must match the composed form."""
+    import pggan_tpu.ops.pallas_conv as pc
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    fused = ((lambda x, w, b: pc.conv3x3_act_pn(x, w, b, slope=0.2)) if pn
+             else (lambda x, w, b: pc.conv3x3_act(x, w, b, slope=0.2)))
+    ref = lambda x, w, b: _epilogue_composed(x, w, b, pn)  # noqa: E731
+
+    def gp_like(f, ww):
+        gx = jax.grad(lambda xx: jnp.sum(f(xx, ww, b)))(x)
+        return jnp.sum(jnp.square(gx))
+
+    h1 = jax.grad(lambda w_: gp_like(fused, w_))(w)
+    h2 = jax.grad(lambda w_: gp_like(ref, w_))(w)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=1e-3, atol=1e-3)
+    # third order through a weight scale, plus the bias path under GP
+    o1 = jax.grad(jax.grad(lambda s: gp_like(fused, w * s)))(jnp.float32(1.))
+    o2 = jax.grad(jax.grad(lambda s: gp_like(ref, w * s)))(jnp.float32(1.))
+    np.testing.assert_allclose(float(o1), float(o2), rtol=1e-3)
+
+
+def test_fused_epilogue_vmap():
+    import pggan_tpu.ops.pallas_conv as pc
+    rng = np.random.RandomState(13)
+    xv = jnp.asarray(rng.randn(2, 1, 8, 8, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    for f in ((lambda xx: pc.conv3x3_act(xx, w, b, slope=0.2)),
+              (lambda xx: pc.conv3x3_act_pn(xx, w, b, slope=0.2))):
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(f)(xv)),
+            np.asarray(jnp.stack([f(xv[i]) for i in range(2)])),
+            rtol=1e-4, atol=1e-4)
+
+
 def test_discriminator_pallas_tail_matches_reference_path():
     """pallas_tail=True must be numerically identical to the NHWC path,
     including full WGAN-GP gradients."""
