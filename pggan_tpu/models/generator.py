@@ -155,8 +155,11 @@ class Generator:
     def _pallas_tail_start(self, depth: int):
         """First growth-stage index handled by the NHCW spatial-lanes tail,
         or None. Stage i convolves at 2**(i+3) px with nf(i+1) input
-        channels; resolution grows and channels shrink with i, so once a
-        stage qualifies every later one does. f32 only."""
+        channels. Resolution grows and channels shrink with i, but the
+        Mosaic %8 channel-alignment requirement can disqualify an arbitrary
+        later stage, so qualification is NOT monotone — the scan below
+        returns the start of the longest contiguous suffix of qualifying
+        stages (the tail must reach the output). f32 only."""
         if not self.pallas_tail or self._compute is not None or depth < 1:
             return None
         def ok(i):

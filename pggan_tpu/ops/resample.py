@@ -49,7 +49,7 @@ def avg_pool_2x(x: jax.Array, h_axis: int, w_axis: int) -> jax.Array:
 def _scaled(shape, axes, factor):
     out = list(shape)
     for a in axes:
-        assert out[a] % 1 == 0
+        assert factor > 1 or out[a] % 2 == 0, (shape, a)  # no silent floor
         out[a] = out[a] * factor if factor > 1 else out[a] // 2
     return tuple(out)
 
