@@ -54,7 +54,22 @@ def _scaled(shape, axes, factor):
     return tuple(out)
 
 
+def _nhcw_kernel_ok(x, h_axis, w_axis, sup) -> bool:
+    # The Pallas streaming kernels serve the spatial-lanes layout only:
+    # (N, H, C, W) f32 with lane-aligned W (ops/pallas_resample.py). XLA's
+    # reduce_window pool measured 3x off streaming bandwidth there and the
+    # concat upsample paid an extra reshape copy (BASELINE.md round 3).
+    import os
+    if os.environ.get("PGGAN_PALLAS_RESAMPLE", "1") == "0":
+        return False
+    return (x.ndim == 4 and (h_axis, w_axis) == (1, 3)
+            and x.dtype == jnp.float32 and sup(x.shape))
+
+
 def _up_impl(x, *, h_axis, w_axis):
+    from pggan_tpu.ops import pallas_resample as pr
+    if _nhcw_kernel_ok(x, h_axis, w_axis, pr.up_supported):
+        return pr.upsample2x_nhcw(x)
     # duplicate each spatial element by concatenating x with itself along a
     # fresh trailing unit axis, then folding that axis in — writes the
     # result directly in the operand's layout (the broadcast formulation
@@ -68,6 +83,9 @@ def _up_impl(x, *, h_axis, w_axis):
 
 
 def _pool_impl(x, *, h_axis, w_axis):
+    from pggan_tpu.ops import pallas_resample as pr
+    if _nhcw_kernel_ok(x, h_axis, w_axis, pr.pool_supported):
+        return pr.avgpool2x_nhcw(x)
     dims = [1] * x.ndim
     dims[h_axis] = dims[w_axis] = 2
     return jax.lax.reduce_window(

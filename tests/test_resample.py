@@ -78,3 +78,61 @@ def test_transposes_are_adjoint():
     lhs = jnp.vdot(x, avg_pool_2x(ct, 1, 3))
     rhs = jnp.vdot(poolt(x)[0], ct)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-6)
+
+
+class TestPallasNHCWKernels:
+    """The spatial-lanes (NHCW) Pallas streaming impls behind the same
+    primitives: parity with the XLA formulations, incl. grads (the
+    transpose binds the partner primitive, so the kernels serve every
+    derivative order)."""
+
+    def _refs(self):
+        pool = lambda x: jax.lax.reduce_window(  # noqa: E731
+            x, 0.0, jax.lax.add, (1, 2, 1, 2), (1, 2, 1, 2), "VALID") * 0.25
+        up = lambda x: jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=3)  # noqa: E731
+        return pool, up
+
+    def test_kernels_match_xla(self):
+        from pggan_tpu.ops.pallas_resample import (avgpool2x_nhcw,
+                                                   pool_supported,
+                                                   up_supported,
+                                                   upsample2x_nhcw)
+        pool_ref, up_ref = self._refs()
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 16, 8, 256).astype(np.float32))
+        assert pool_supported(x.shape) and up_supported(x.shape)
+        np.testing.assert_allclose(np.asarray(avgpool2x_nhcw(x)),
+                                   np.asarray(pool_ref(x)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(upsample2x_nhcw(x)),
+                                   np.asarray(up_ref(x)), rtol=1e-6)
+
+    def test_primitive_dispatch_and_grads(self):
+        """Through the primitives (which dispatch to the kernels for
+        supported NHCW shapes): values and gradients match XLA."""
+        pool_ref, up_ref = self._refs()
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(1, 8, 8, 256).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(avg_pool_2x(x, 1, 3)),
+                                   np.asarray(pool_ref(x)),
+                                   rtol=1e-5, atol=1e-6)
+        g1 = jax.grad(lambda x: jnp.sum(jnp.sin(avg_pool_2x(x, 1, 3))))(x)
+        g2 = jax.grad(lambda x: jnp.sum(jnp.sin(pool_ref(x))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+        g3 = jax.grad(lambda x: jnp.sum(jnp.sin(upsample_2x(x, 1, 3))))(x)
+        g4 = jax.grad(lambda x: jnp.sum(jnp.sin(up_ref(x))))(x)
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g4),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unsupported_shapes_fall_back(self):
+        """C=3 images and odd widths stay on the XLA formulations."""
+        pool_ref, up_ref = self._refs()
+        rng = np.random.RandomState(5)
+        for shape in ((1, 8, 3, 256), (1, 8, 8, 192)):
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            np.testing.assert_allclose(np.asarray(avg_pool_2x(x, 1, 3)),
+                                       np.asarray(pool_ref(x)),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(upsample_2x(x, 1, 3)),
+                                       np.asarray(up_ref(x)), rtol=1e-6)
