@@ -1,0 +1,100 @@
+"""Collective-set audit of the sharded train step (SURVEY §2.8).
+
+tests/test_train_step.py pins sharded-vs-single *numerics*; this file pins
+the compiled *graph*: over a data-parallel mesh the step's HLO must contain
+only the intended collectives —
+
+  - all-reduce: gradient sync + the scalar cross-replica reductions inside
+    minibatch-stddev and the GP/metric means (SURVEY §2.8 psum placement);
+  - NO all-gather / all-to-all / collective-permute at all. GSPMD would
+    insert activation-sized all-gathers around the shard_mapped Pallas
+    regions if the manual sharding were wrong (ops/spatial.py:83-107 exists
+    precisely to prevent that; its check_vma=False escape hatch makes this
+    audit necessary), or around a mis-sharded batch op.
+
+Both graph families are audited: a pure-XLA depth and a Pallas-span depth
+(fade graphs, so the blend paths are included).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pggan_tpu.models import Discriminator, Generator
+from pggan_tpu.training.state import init_state, make_optimizer
+from pggan_tpu.training.steps import TrainStepBuilder
+
+
+def _lower_step_hlo(depth: int, batch: int) -> str:
+    from jax.sharding import Mesh
+
+    shape = (8, 3, 128, 128)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    G = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
+    D = Discriminator(shape, fmap_base=512, fmap_max=32)
+    opt = make_optimizer()
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    state = init_state(G.init(ks[0]), D.init(ks[1]), opt, ks[2])
+    b = TrainStepBuilder(G, D, opt, mesh=mesh)
+    if depth == 5:  # the Pallas-span graph family must actually be engaged
+        assert D._pallas_span(5) >= 1 and G._pallas_tail_start(5) is not None
+    else:
+        assert D._pallas_span(depth) == 0
+    abstract_state = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state)
+    reals = jax.ShapeDtypeStruct(b.real_batch_shape(depth, batch),
+                                 jnp.float32)
+    s = jax.ShapeDtypeStruct((), jnp.float32)
+    step = b.step_fn(depth, batch, fade=True)
+    return step.lower(abstract_state, reals, s, s, s).compile().as_text()
+
+
+def _collect_collectives(hlo: str):
+    """(kind, result_shape_string) for every collective in the HLO."""
+    out = []
+    for line in hlo.splitlines():
+        m = re.search(
+            r"=\s*([a-z0-9_\[\],\s]*?)\s*"
+            r"(all-reduce|all-gather|all-to-all|collective-permute|"
+            r"reduce-scatter)(-start)?\(", line)
+        if m:
+            out.append((m.group(2), m.group(1).strip()))
+    return out
+
+
+def _shape_sizes(shape_str: str):
+    """Total element count per result in an HLO result type string."""
+    return [int(np.prod([int(d) for d in dims.split(",") if d.strip()] or [1]))
+            for dims in re.findall(r"\[([0-9,]*)\]", shape_str)]
+
+
+@pytest.mark.parametrize("depth,batch", [(4, 8), (5, 8)])
+def test_sharded_step_collective_set(depth, batch):
+    hlo = _lower_step_hlo(depth, batch)
+    coll = _collect_collectives(hlo)
+    kinds = {k for k, _ in coll}
+    # gradient sync must exist...
+    assert "all-reduce" in kinds, "no gradient all-reduce found"
+    # ...and nothing else may: any gather/permute around the shard_mapped
+    # Pallas regions or the batch ops means GSPMD is moving activations.
+    forbidden = kinds - {"all-reduce"}
+    assert not forbidden, f"unexpected collectives: {sorted(forbidden)}"
+
+    # Every all-reduce result must be parameter-shaped or tiny (scalar
+    # stats/metrics) — an activation-sized all-reduce would mean a batch
+    # tensor is being reduced across shards.
+    shape = (8, 3, 128, 128)
+    G = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
+    D = Discriminator(shape, fmap_base=512, fmap_max=32)
+    param_sizes = {int(np.prod(np.shape(x))) for x in
+                   jax.tree_util.tree_leaves(G.init(jax.random.PRNGKey(0)))}
+    param_sizes |= {int(np.prod(np.shape(x))) for x in
+                    jax.tree_util.tree_leaves(D.init(jax.random.PRNGKey(1)))}
+    allowed = param_sizes | {1}
+    for kind, shp in coll:
+        for size in _shape_sizes(shp):
+            assert size in allowed or size <= 64, (
+                f"activation-sized {kind} of {size} elements: {shp}")
