@@ -168,12 +168,31 @@ class SoundSaver(Postprocessor):
             with open(err, "w") as f:
                 f.write(f"Exception trying to save sound: {e}")
 
+    def _signals_batch(self, images) -> list:
+        """Per-sample signals for a whole tick's samples. In ``abslog`` mode
+        on device, the Griffin-Lim inversions of ALL samples run as one
+        batched dispatch (``griffin_lim_batch_jax``) instead of a device
+        round-trip per sample; results are identical to the serial path."""
+        if self.mode == "abslog" and self.use_device and len(images) > 1:
+            from pggan_tpu.ops.stft import griffin_lim_batch_jax
+            mags = np.stack([
+                adjust_dynamic_range(self._pad_top_bin(im), self.drange,
+                                     (0, 255)) for im in images])
+            sigs = griffin_lim_batch_jax(mags, self.griffin_lim_iter,
+                                         self.hop_length)
+            out = []
+            for s in sigs:
+                peak = np.abs(s).max()
+                out.append(s / peak if peak > 0 else s)
+            return out
+        return [self.image_to_sound(im) for im in images]
+
     def __call__(self, output: np.ndarray, samples_description):
         times_smaller = max(self.resolution // output.shape[-1], 1)
         if self.mode == "raw":
             times_smaller *= times_smaller
-        for i, img in enumerate(output):
-            signal = self.image_to_sound(img[0])
+        signals = self._signals_batch([img[0] for img in output])
+        for i, signal in enumerate(signals):
             signal = numpy_upsample_nearest(signal, 1,
                                             scale_factor=times_smaller)
             self.output_wav(signal, samples_description, i)

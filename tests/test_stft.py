@@ -84,3 +84,17 @@ def test_griffin_lim_jax_matches_np_structure():
     y = griffin_lim_jax(mag, n_iter=5, hop_length=32)
     assert y.shape == ((mag.shape[1] - 1) * 32,)
     assert np.isfinite(y).all()
+
+
+def test_griffin_lim_batch_matches_serial():
+    """The batched inversion (one dispatch per tick, SoundSaver) must be
+    bit-identical to per-sample griffin_lim_jax calls (same seeded init)."""
+    from pggan_tpu.ops.stft import griffin_lim_batch_jax
+    x = chirp(4096)
+    mags = np.stack([np.abs(stft_np(x[i * 512:i * 512 + 2048], 128, 32))
+                     for i in range(3)])
+    batch = griffin_lim_batch_jax(mags, n_iter=5, hop_length=32)
+    assert batch.shape == (3, (mags.shape[2] - 1) * 32)
+    for i in range(3):
+        one = griffin_lim_jax(mags[i], n_iter=5, hop_length=32)
+        np.testing.assert_allclose(batch[i], one, rtol=1e-5, atol=1e-6)
