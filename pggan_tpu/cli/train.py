@@ -132,6 +132,33 @@ def _resume_kimg(resume_network: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def find_latest_snapshot(result_root: str) -> str:
+    """Newest ``network-snapshot-generator-*.dat`` under the results root
+    (newest mtime, kimg as tie-break), returned as a ``resume_network``
+    pattern relative to the root — ``--resume_network latest`` (SURVEY §5
+    "auto-resume-latest"; the reference requires hand-typing the pattern,
+    train.py:60-64)."""
+    import glob
+    cands = []
+    for p in glob.glob(os.path.join(result_root, "**",
+                                    "network-snapshot-generator-*.dat"),
+                       recursive=True):
+        if os.path.exists(p.replace("-generator-", "-discriminator-")):
+            cands.append(p)
+    if not cands:
+        raise SystemExit(
+            f"--resume_network latest: no snapshot pairs under {result_root}")
+
+    def key(p):
+        m = re.search(r"-(\d+)\.dat$", p)
+        return (os.path.getmtime(p), int(m.group(1)) if m else -1)
+
+    rel = os.path.relpath(max(cands, key=key), result_root)
+    d, b = os.path.split(rel)
+    return os.path.join(d, b.replace("network-snapshot-generator-",
+                                     "network-snapshot-{}-"))
+
+
 def make_experiment(params):
     """Optional CometML wiring (reference train.py:67-87); returns None when
     no key is configured or comet_ml is unavailable."""
@@ -188,6 +215,9 @@ def main(params):
     # -- models (reference train.py:120-138) --------------------------------
     resume_state = None
     resume_nimg = params.get("Trainer", {}).get("resume_nimg", 0)
+    if params["resume_network"] == "latest":
+        params["resume_network"] = find_latest_snapshot(params["result_dir"])
+        logger.log(f"resume latest -> {params['resume_network']}")
     if params["resume_network"]:
         G, D, g_params, d_params, g_meta, d_path = load_models(
             params["resume_network"], params["result_dir"], logger)

@@ -190,6 +190,66 @@ def test_cli_resume(cli_run):
     assert "Restored full training state" in log or "Resuming" in log
 
 
+def test_find_latest_snapshot_unit(tmp_path):
+    """Selection rule: newest mtime wins, kimg breaks ties, and generator
+    files without a discriminator pair are skipped."""
+    from pggan_tpu.cli.train import find_latest_snapshot
+    root = str(tmp_path)
+    import time
+    for sub, kimgs in (("000-a", [0, 1]), ("001-b", [2])):
+        os.makedirs(os.path.join(root, sub))
+        for kimg in kimgs:
+            for net in ("generator", "discriminator"):
+                p = os.path.join(
+                    root, sub, f"network-snapshot-{net}-{kimg:06}.dat")
+                open(p, "w").write("x")
+    # orphan generator (no discriminator pair) with the newest mtime: skip
+    orphan = os.path.join(root, "001-b", "network-snapshot-generator-000009.dat")
+    open(orphan, "w").write("x")
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(
+            os.path.join(root, "**", "*.dat"), recursive=True))):
+        os.utime(p, (now + i, now + i))
+    os.utime(orphan, (now + 100, now + 100))
+    pat = find_latest_snapshot(root)
+    assert pat == os.path.join("001-b", "network-snapshot-{}-000002.dat")
+
+
+def test_cli_resume_latest(cli_run):
+    """--resume_network latest: scans the results root and resumes the
+    newest snapshot pair without hand-typing the pattern (SURVEY §5
+    auto-resume-latest)."""
+    from pggan_tpu.cli.train import cli_main
+    results_root = os.path.dirname(cli_run)
+    data_dir = os.path.join(os.path.dirname(results_root), "imgs")
+    cli_main([
+        "--result_dir", results_root,
+        "--exp_name", "resumelatest",
+        "--resume_network", "latest",
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--num_data_workers", "2",
+        "--total_kimg", "0.55",
+        "--minibatch_size", "8",
+        "--postprocessors", "[]",
+        "--DepthManager.minibatch_default", "8",
+        "--DepthManager.lod_training_nimg", "150",
+        "--DepthManager.lod_transition_nimg", "150",
+        "--DepthManager.tick_kimg_default", "0.128",
+        "--DepthManager.tick_kimg_overrides", "{}",
+        "--Generator.latent_size", "16",
+        "--Generator.fmap_base", "64",
+        "--Generator.fmap_max", "32",
+        "--Discriminator.fmap_base", "64",
+        "--Discriminator.fmap_max", "32",
+        "--data_parallel", "False",
+    ])
+    resume_dir = glob.glob(os.path.join(results_root, "*-resumelatest"))[0]
+    log = open(os.path.join(resume_dir, "log.txt")).read()
+    assert "resume latest ->" in log
+
+
 def test_cli_non_progressive(tmp_path):
     """--progressive_growing False trains a fixed-depth GAN (reference
     README.md:48): no DepthManager, depth = dataset.model_initial_depth."""
