@@ -34,16 +34,23 @@ MINIBATCH.update({6: 14, 7: 6, 8: 3})
 
 # timing-loop length per depth: long enough to swamp dispatch overhead at
 # fast stages, short enough to keep the 1024px stage affordable
-ITERS = {0: 300, 1: 300, 2: 300, 3: 200, 4: 100, 5: 40, 6: 30, 7: 20, 8: 15}
+ITERS = {0: 150, 1: 150, 2: 150, 3: 100, 4: 50, 5: 20, 6: 15, 7: 10, 8: 8}
+
+# rounds per depth: the chip is shared and contention inflates wall clock
+# one-sidedly (up to 19x vs HLO self-time) — MANY short rounds maximize the
+# chance that at least one lands in a quiet window, and the MIN over rounds
+# is the capability estimator (cf. timeit). Headline depth 5 gets the most.
+ROUNDS = {d: 8 for d in range(9)}
+ROUNDS[5] = 16
 
 
-def time_step(builder, state, depth, batch, iters, warmup=3, rounds=5):
+def time_step(builder, state, depth, batch, iters, warmup=3, rounds=8):
     """Steady-state step time. The attached runtime pipelines dispatches
     deeply, so the FIRST timing round mostly measures dispatch while real
     execution lags behind; it is discarded (pipeline absorption). The MIN
     of the remaining rounds is reported: the chip is multi-tenant and
     contention inflates wall clock asymmetrically (observed up to 19x vs
-    HLO self-time) — the minimum over several rounds is the standard
+    HLO self-time) — the minimum over several short rounds is the standard
     estimator for the machine's actual capability under one-sided noise
     (cf. timeit). See BASELINE.md "measurement caveats"."""
     # stable-phase graph (alpha == 1): the dominant training regime
@@ -65,6 +72,30 @@ def time_step(builder, state, depth, batch, iters, warmup=3, rounds=5):
         if rnd > 0:
             times.append((time.perf_counter() - t0) / iters)
     return float(np.min(times)), state
+
+
+def headline_self_time(builder, state, depth, batch, n_steps=5):
+    """HLO self-time (ms/step) of the headline config: the tenancy-robust
+    capability number, recorded in the JSON beside the wall measurement
+    (CLAUDE.md measurement rules). Returns None if profiling tooling is
+    unavailable."""
+    try:
+        from pggan_tpu.utils.profiling import self_time_ms_per_step
+        step = builder.step_fn(depth, batch, fade=False)
+        reals = np.random.RandomState(0).randn(
+            *builder.real_batch_shape(depth, batch)).astype(np.float32)
+        alpha, lr = np.float32(1.0), np.float32(1e-4)
+
+        def run():
+            nonlocal state
+            for _ in range(n_steps):
+                state, metrics = step(state, reals, alpha, lr, lr)
+            float(metrics["D_loss"])
+
+        return self_time_ms_per_step(run, n_steps)
+    except Exception as e:  # profiler/tooling hiccups must not kill the bench
+        print(f"self-time capture failed: {e}", file=sys.stderr)
+        return None
 
 
 def main():
@@ -93,7 +124,8 @@ def main():
         for attempt in range(2):  # the remote-compile tunnel has drops
             try:
                 dt, state = time_step(builder, state, depth, batch,
-                                      iters=ITERS[depth])
+                                      iters=ITERS[depth],
+                                      rounds=ROUNDS[depth])
                 kimg_h = batch / dt * 3.6
                 table[depth] = (res, batch, dt, kimg_h)
                 print(f"depth {depth} ({res:4}px, b{batch:2}): "
@@ -109,11 +141,19 @@ def main():
     if 5 not in table:
         raise SystemExit("headline depth-5 measurement missing")
     kimg_per_hour = table[5][3]
+    self_ms = headline_self_time(builder, state, 5, MINIBATCH[5])
+    extra = {}
+    if self_ms:
+        extra = {
+            "self_time_ms_per_step": round(self_ms, 2),
+            "self_time_kimg_per_hour": round(MINIBATCH[5] / self_ms * 3600, 1),
+        }
     print(json.dumps({
         "metric": "kimg_per_hour_chip_128px",
         "value": round(kimg_per_hour, 2),
         "unit": "kimg/h",
         "vs_baseline": round(kimg_per_hour / REFERENCE_ANCHOR_KIMG_PER_HOUR, 3),
+        **extra,
     }))
 
 

@@ -15,10 +15,6 @@ comparing the totals of two profiled runs is the decision procedure when
 interleaved A/B drifts too much.
 """
 
-import collections
-import glob
-import json
-import os
 import sys
 import tempfile
 
@@ -27,6 +23,7 @@ import numpy as np
 
 def main():
     pallas = "--no-pallas" not in sys.argv
+    fuse = "--no-fuse" not in sys.argv
     dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     depth = int(pos[0]) if len(pos) > 0 else 8
@@ -34,16 +31,21 @@ def main():
     out_dir = pos[2] if len(pos) > 2 else tempfile.mkdtemp(
         prefix="pggan_prof_")
 
+    if not fuse:
+        import os
+        os.environ["PGGAN_FUSE_EPILOGUE"] = "0"
+
     import jax
     from pggan_tpu.models import Discriminator, Generator
     from pggan_tpu.training.state import init_state, make_optimizer
     from pggan_tpu.training.steps import TrainStepBuilder
+    from pggan_tpu.utils.profiling import capture_hlo_stats, summarize
 
     shape = (1, 3, 1024, 1024)
     G = Generator(shape, compute_dtype=dtype, pallas_tail=pallas)
     D = Discriminator(shape, compute_dtype=dtype, pallas_tail=pallas)
     print(f"config: depth={depth} batch={batch} pallas={pallas} "
-          f"dtype={dtype}", flush=True)
+          f"dtype={dtype} fuse={fuse}", flush=True)
     opt = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     state = init_state(G.init(ks[0]), D.init(ks[1]), opt, ks[2])
@@ -57,49 +59,15 @@ def main():
     float(m["D_loss"])
 
     n_steps = 5
-    jax.profiler.start_trace(out_dir)
-    for _ in range(n_steps):
-        state, m = step(state, reals, a, lr, lr)
-    float(m["D_loss"])
-    jax.profiler.stop_trace()
 
-    paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
-                      recursive=True)
-    print(f"trace: {paths}")
-    from xprof.convert import raw_to_tool_data as r
-    data, _ = r.xspace_to_tool_data(paths, "hlo_stats", {})
-    tab = json.loads(data.decode() if isinstance(data, bytes) else data)
-    cols = [c["label"] for c in tab["cols"]]
-    rows = [dict(zip(cols, [c.get("v") for c in row["c"]]))
-            for row in tab["rows"]]
-    bycat, bybound = collections.Counter(), collections.Counter()
-    for d in rows:
-        t = d.get("Total self time (us)") or 0
-        bycat[d.get("HLO op category") or "?"] += t
-        bybound[d.get("Bound by") or "?"] += t
-    total = sum(bycat.values())
-    print(f"total self time: {total / 1e3:.1f} ms over {n_steps} steps "
-          f"-> {total / (n_steps * 1e3):.1f} ms/step")
-    print("--- by category:")
-    for cat, t in bycat.most_common(12):
-        print(f"{t / total * 100:5.1f}%  {cat}")
-    print("--- by bound:")
-    for bnd, t in bybound.most_common(8):
-        print(f"{t / total * 100:5.1f}%  {bnd}")
-    print("--- top ops by self time:")
-    rows.sort(key=lambda d: -(d.get("Total self time (us)") or 0))
-    for d in rows[:25]:
-        t = d.get("Total self time (us)") or 0
-        fw = (d.get("Framework op name") or "").replace(
-            "jit(step)/", "").replace("while/body/closed_call/", "W/")[:90]
-        txt = d.get("HLO op text") or ""
-        shape = txt.split(" = ")[1][:55] if " = " in txt else ""
-        bw = d.get("Measured memory BW (GiB/s)")
-        bw = f"{float(bw):.0f}" if bw not in (None, "") else "?"
-        print(f"{t / total * 100:5.1f}%  {t / (n_steps * 1e3):7.2f} ms/step  "
-              f"bw={bw:>5}  {d.get('HLO op category'):>18}  {fw}")
-        if shape:
-            print(f"         {shape}")
+    def run():
+        nonlocal state
+        for _ in range(n_steps):
+            state, m = step(state, reals, a, lr, lr)
+        float(m["D_loss"])
+
+    rows = capture_hlo_stats(run, out_dir)
+    summarize(rows, n_steps)
 
 
 if __name__ == "__main__":
