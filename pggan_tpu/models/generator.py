@@ -21,6 +21,7 @@ Differences from the reference, by design (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -71,14 +72,17 @@ class Generator:
     dtype: object = field(default=jnp.float32, repr=False)
 
     # Pallas-tail envelope (class attributes — out of the constructor/CLI
-    # surface; tests/benches tune them). A growth stage joins the NHCW tail
-    # when its conv resolution 2**(i+3) is lane-aligned (>=128, %128) and its
-    # input channel count nf(i+1) is small enough that NHWC wastes lanes.
+    # surface; tests/benches tune them, PGGAN_PALLAS_MAX_CIN / _HI
+    # override). A growth stage joins the NHCW tail when its conv resolution
+    # 2**(i+3) is lane-aligned (>=128, %128) and its input channel count
+    # nf(i+1) is small enough that NHWC wastes lanes. The C boundary is
+    # profile-placed per round and RESOLUTION-TIERED (BASELINE.md round 3):
+    # C=64 stages lose at 128px but win at >=256px, where round 3's fused
+    # epilogues + streaming resample kernels flipped round 2's verdict.
     _pallas_min_res = 128
-    _pallas_max_cin = 32  # C=64 stages (128px in the paper config) measured
-    # FASTER on XLA's NHWC path: 64 channels half-fill the lanes and the
-    # stage is MXU-bound, so the layout tax the kernels remove is small
-    # (depth-5 self-time 40.8 ms XLA vs 56.9 pallas; BASELINE.md)
+    _pallas_max_cin = int(os.environ.get("PGGAN_PALLAS_MAX_CIN", "32"))
+    _pallas_hi_res = 256
+    _pallas_max_cin_hi = int(os.environ.get("PGGAN_PALLAS_MAX_CIN_HI", "64"))
     # set by TrainStepBuilder when training over a device mesh (see
     # ops/spatial.py shard_map_batch)
     mesh = None
@@ -166,8 +170,10 @@ class Generator:
             res = 2 ** (i + 3)
             # stage i convolves nf(i+1) -> nf(i+2) channels; both sit in
             # the NHCW sublane dim and must be 8-aligned for Mosaic
+            lim = (self._pallas_max_cin_hi if res >= self._pallas_hi_res
+                   else self._pallas_max_cin)
             return (res >= self._pallas_min_res and res % 128 == 0
-                    and self.nf(i + 1) <= self._pallas_max_cin
+                    and self.nf(i + 1) <= lim
                     and self.nf(i + 1) % 8 == 0 and self.nf(i + 2) % 8 == 0)
 
         start = None

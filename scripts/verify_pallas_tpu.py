@@ -40,7 +40,7 @@ def envelope_shapes(fast: bool):
         start = G._pallas_tail_start(depth)
         if start is not None:
             for i in range(start, depth):
-                res = 2 ** (i + 4)  # stage i convolves after 2x upsample
+                res = 2 ** (i + 3)  # stage (block) i convolves at 2**(i+3)
                 shapes.add((res, G.nf(i + 1), G.nf(i + 2), res))  # c1
                 shapes.add((res, G.nf(i + 2), G.nf(i + 2), res))  # c2
         span = D._pallas_span(depth)
