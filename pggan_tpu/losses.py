@@ -47,18 +47,29 @@ def calc_gradient_penalty(d_apply, d_params, real, fake, mix_eps,
 def wgan_gp_D_loss(d_apply, g_apply, d_params, g_params, real, latents, rng,
                    iwass_lambda: float = 10.0,
                    iwass_epsilon: float = 0.001,
-                   iwass_target: float = 1.0):
+                   iwass_target: float = 1.0,
+                   d_apply_pair=None):
     """D loss (reference wgan_gp_loss.py:36-65). Returns (cost, aux).
 
     aux = (mean D_real_loss, mean D_fake_loss) mirroring the reference's
     ``return_all`` tuple (wgan_gp_loss.py:63-65), reduced to means since
     that is what the loss monitors consume (plugins.py:109-111).
-    """
-    d_real = d_apply(d_params, real)
-    d_real_loss = -d_real + jnp.square(d_real) * iwass_epsilon
 
+    ``d_apply_pair``: optional ``(params, x2) -> (2N, 1)`` critic over a
+    concatenated [reals; fakes] batch with per-half minibatch-stddev
+    statistics (Discriminator.apply ``stat_groups=2``) — EXACTLY equal to
+    two separate ``d_apply`` calls, but one fused device pass (fewer op
+    dispatches, fuller MXU; the GP pass stays separate because its inner
+    input-gradient must cover only the mixed batch).
+    """
     fake = jax.lax.stop_gradient(g_apply(g_params, latents))
-    d_fake_loss = d_apply(d_params, fake)
+    if d_apply_pair is not None and real.shape == fake.shape:
+        both = d_apply_pair(d_params, jnp.concatenate([real, fake], axis=0))
+        d_real, d_fake_loss = both[:real.shape[0]], both[real.shape[0]:]
+    else:
+        d_real = d_apply(d_params, real)
+        d_fake_loss = d_apply(d_params, fake)
+    d_real_loss = -d_real + jnp.square(d_real) * iwass_epsilon
 
     mix_eps = jax.random.uniform(rng, (real.shape[0],), real.dtype)
     gp = calc_gradient_penalty(d_apply, d_params,

@@ -225,11 +225,11 @@ class Discriminator:
         return shard_map_batch(head, self.mesh, self.batch_axis,
                                n_array_args=1, batch_size=batch_size)
 
-    def _block(self, p, h, is_last: bool, first: bool):
+    def _block(self, p, h, is_last: bool, first: bool, stat_groups: int = 1):
         if first:
             h = self._fromrgb(p, h)
         if is_last:
-            h = minibatch_stddev(h)  # network.py:168
+            h = minibatch_stddev(h, groups=stat_groups)  # network.py:168
             h = self._conv(p["c1"], h, pad=1)
             h = self._conv(p["c2"], h, pad=0)  # 4x4 valid -> 1x1 spatial
         else:
@@ -238,12 +238,17 @@ class Discriminator:
         return h
 
     def apply(self, params: dict, x: jax.Array, depth: int,
-              alpha: jax.Array | float, fade: bool = True) -> jax.Array:
+              alpha: jax.Array | float, fade: bool = True,
+              stat_groups: int = 1) -> jax.Array:
         """Forward at static ``depth`` (reference network.py:225-240).
 
         x: NHWC at resolution ``4 * 2**depth``; returns (N, 1) scores.
         ``fade=False`` statically drops the fromRGB blend path (the
         reference only blends when alpha < 1, network.py:230-233).
+        ``stat_groups``: compute the minibatch-stddev statistic over that
+        many equal batch slices — ``apply(concat(xs), stat_groups=len(xs))``
+        exactly equals ``concat(apply(x) for x in xs)``, which the train
+        step uses to score reals and fakes in one fused pass.
         """
         if not (0 <= depth <= self.max_depth):
             raise ValueError(f"depth {depth} out of range [0, {self.max_depth}]")
@@ -259,7 +264,8 @@ class Discriminator:
             start = depth - span + 1  # head covered loop stages depth..start+1
         else:
             h = self._block(blocks[n - (depth + 1)], x,
-                            is_last=(depth == 0), first=True)
+                            is_last=(depth == 0), first=True,
+                            stat_groups=stat_groups)
             if depth > 0:
                 h = avg_pool_2x(h)
             if depth > 0 and fade:
@@ -279,7 +285,8 @@ class Discriminator:
                 h = h * alpha_c + (1.0 - alpha_c) * prev
             start = depth
         for i in range(start, 0, -1):
-            h = self._block(blocks[n - i], h, is_last=(i == 1), first=False)
+            h = self._block(blocks[n - i], h, is_last=(i == 1), first=False,
+                            stat_groups=stat_groups)
             if i > 1:
                 h = avg_pool_2x(h)
         h = h.reshape(h.shape[0], -1)  # squeeze 1x1 spatial -> (N, nf(0))

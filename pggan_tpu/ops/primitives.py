@@ -59,7 +59,8 @@ def pixelnorm(x: jax.Array, eps: float = 1e-8, axis: int = -1) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.mean(x * x, axis=axis, keepdims=True) + eps)
 
 
-def minibatch_stddev(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+def minibatch_stddev(x: jax.Array, eps: float = 1e-8,
+                     groups: int = 1) -> jax.Array:
     """Append one channel holding the global scalar stddev of ``x``.
 
     Reference network.py:174-187 (``Tstdeps`` + ``MinibatchStddev``): the
@@ -68,10 +69,27 @@ def minibatch_stddev(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     axis is sharded over a data-parallel mesh, the global means here become
     XLA cross-replica reductions automatically (GSPMD), keeping the statistic
     a true global-batch quantity.
+
+    ``groups > 1`` computes the statistic independently over ``groups``
+    equal batch slices — exactly equivalent to ``groups`` separate calls on
+    the slices. This lets the train step evaluate D on a concatenated
+    [reals; fakes] batch in ONE pass (fewer op dispatches, fuller MXU)
+    while preserving the reference's per-call statistic semantics.
     """
     xf = x.astype(jnp.float32)  # batch statistics always in f32
-    s = jnp.sqrt(jnp.mean(jnp.square(xf - jnp.mean(xf))) + eps)
-    tile = jnp.broadcast_to(s, x.shape[:-1] + (1,)).astype(x.dtype)
+    if groups == 1:
+        s = jnp.sqrt(jnp.mean(jnp.square(xf - jnp.mean(xf))) + eps)
+        tile = jnp.broadcast_to(s, x.shape[:-1] + (1,)).astype(x.dtype)
+        return jnp.concatenate([x, tile], axis=-1)
+    n = x.shape[0]
+    assert n % groups == 0, (n, groups)
+    xg = xf.reshape((groups, n // groups) + x.shape[1:])
+    mean = jnp.mean(xg, axis=tuple(range(1, xg.ndim)), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=tuple(range(1, xg.ndim)))
+    s = jnp.sqrt(var + eps)  # (groups,)
+    tile = jnp.broadcast_to(
+        jnp.repeat(s, n // groups).reshape((n,) + (1,) * (x.ndim - 1)),
+        x.shape[:-1] + (1,)).astype(x.dtype)
     return jnp.concatenate([x, tile], axis=-1)
 
 

@@ -88,13 +88,20 @@ class TrainStepBuilder:
             def d_apply(p, x):
                 return D.apply(p, x, depth, alpha, fade)
 
+            def d_apply_pair(p, x2):
+                # reals+fakes scored in ONE pass; stat_groups=2 keeps the
+                # minibatch-stddev statistic per-half — exactly equal to
+                # two separate d_apply calls (losses.py)
+                return D.apply(p, x2, depth, alpha, fade, stat_groups=2)
+
             def g_apply(p, z):
                 return G.apply(p, z, depth, alpha, fade)
 
             def d_loss_fn(d_params, real, z, key):
                 return wgan_gp_D_loss(d_apply, g_apply, d_params,
                                       state.g_params, real, z, key,
-                                      lam, eps_drift, target)
+                                      lam, eps_drift, target,
+                                      d_apply_pair=d_apply_pair)
 
             def d_phase(carry, real):
                 d_params, d_opt, rng = carry
