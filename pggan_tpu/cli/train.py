@@ -356,6 +356,8 @@ def main(params):
         trainer.depth = dataset.model_depth
         trainer.alpha = dataset.alpha
         trainer.minibatch_size = mb_def
+        # fixed (depth, alpha) forever -> grouped dispatch always legal
+        trainer.schedule_horizon = lambda nimg: float("inf")
     for i, loss_name in enumerate(LOSSES):
         trainer.register_plugin(EfficientLossMonitor(i, loss_name))
 

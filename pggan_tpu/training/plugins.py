@@ -97,6 +97,11 @@ class DepthManager(Plugin):
 
     def register(self, trainer):
         self.trainer = trainer
+        # pure lookahead for the Trainer's grouped dispatch: how long the
+        # (depth, alpha) law stays constant from a given nimg
+        trainer.schedule_horizon = lambda nimg: schedule.stable_nimg_horizon(
+            nimg, self.max_depth,
+            self.lod_training_nimg, self.lod_transition_nimg)
         if self.lod_transition_nimg > self.lod_training_nimg:
             # the nimg->(depth, alpha) divmod law (inherited from the
             # reference, plugins.py:57-63) mis-schedules in this regime:
@@ -203,15 +208,22 @@ class LRScheduler(Plugin):
 
     def register(self, trainer):
         self.trainer = trainer
+        # pure lookahead for the Trainer's grouped dispatch: the lr this
+        # plugin WOULD set at a given nimg (lr_scale only changes at depth
+        # boundaries, which grouped windows never cross)
+        trainer.lr_lookahead = self._lr_at
         self.iteration()
 
-    def iteration(self, *args):
-        ramp = lr_rampup(self.trainer.cur_nimg, self.rampup_kimg)
+    def _lr_at(self, nimg):
+        ramp = lr_rampup(nimg, self.rampup_kimg)
         # lr_scale: linear batch scaling set by DepthManager when the pod
         # batch policy grew a stage's global batch (opt-in, default 1.0)
         scale = getattr(self.trainer, "lr_scale", 1.0)
-        self.trainer.lr_d = self.lr_max_d * ramp * scale
-        self.trainer.lr_g = self.lr_max_g * ramp * scale
+        return self.lr_max_d * ramp * scale, self.lr_max_g * ramp * scale
+
+    def iteration(self, *args):
+        self.trainer.lr_d, self.trainer.lr_g = self._lr_at(
+            self.trainer.cur_nimg)
 
 
 class EfficientLossMonitor(Plugin):
@@ -241,7 +253,11 @@ class EfficientLossMonitor(Plugin):
     def epoch(self, epoch_idx):
         import jax
         if self._values:
-            vals = np.asarray(jax.device_get(self._values), dtype=np.float64)
+            # entries are scalars (per-step dispatch) or (group,) vectors
+            # (grouped dispatch) — every step's loss counts exactly once
+            vals = np.concatenate([
+                np.atleast_1d(np.asarray(v, dtype=np.float64))
+                for v in jax.device_get(self._values)])
             self.trainer.stats[self.stat_name]["epoch_mean"] = float(vals.mean())
             self._values = []
 

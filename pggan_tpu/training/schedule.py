@@ -40,6 +40,30 @@ def depth_alpha_schedule(cur_nimg: int, max_depth: int,
     return depth, alpha
 
 
+def stable_nimg_horizon(cur_nimg: int, max_depth: int,
+                        lod_training_nimg: int = LOD_TRAINING_NIMG,
+                        lod_transition_nimg: int = LOD_TRANSITION_NIMG) -> float:
+    """How many images from ``cur_nimg`` the schedule output stays constant.
+
+    Returns N such that ``depth_alpha_schedule(n)`` is identical for every
+    ``n`` in ``[cur_nimg, cur_nimg + N)`` — ``math.inf`` once the terminal
+    stable phase is reached (depth clamped at ``max_depth``, last fade done).
+    0 during a fade (alpha changes every image). The Trainer uses this to
+    bound how many steps may share one compiled dispatch
+    (``steps_per_dispatch``) without deviating from the per-step control law.
+    """
+    period = lod_training_nimg + lod_transition_nimg
+    full_passes, rem1 = divmod(cur_nimg, period)
+    if full_passes >= max_depth:
+        # depth clamped at max_depth and its fade is behind us: both the
+        # "training" and "transition" windows of every later period yield
+        # (max_depth, 1.0) — stable forever
+        return math.inf
+    if rem1 >= lod_training_nimg:
+        return 0  # inside a transition: alpha moves every image
+    return lod_training_nimg - rem1
+
+
 def minibatch_for_depth(depth: int, default: int = MINIBATCH_DEFAULT,
                         overrides: dict | None = None) -> int:
     overrides = MINIBATCH_OVERRIDES if overrides is None else overrides

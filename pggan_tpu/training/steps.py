@@ -75,8 +75,11 @@ class TrainStepBuilder:
         return replicated, batch
 
     # -- the step -----------------------------------------------------------
-    def _build_step(self, depth: int, batch_size: int,
-                    fade: bool = True) -> Callable:
+    def _raw_step(self, depth: int, batch_size: int,
+                  fade: bool = True) -> Callable:
+        """The un-jitted (state, reals, alpha, lr_d, lr_g) -> (state, metrics)
+        function; jitted directly by ``step_fn`` or scanned over a step group
+        by ``group_step_fn``."""
         G, D = self.G, self.D
         opt = self.optimizer
         latent_size = G.latent_size
@@ -149,6 +152,11 @@ class TrainStepBuilder:
             }
             return new_state, metrics
 
+        return step
+
+    def _build_step(self, depth: int, batch_size: int,
+                    fade: bool = True) -> Callable:
+        step = self._raw_step(depth, batch_size, fade)
         if self.mesh is not None:
             replicated, batch_shd = self._shardings()
             return jax.jit(
@@ -159,6 +167,44 @@ class TrainStepBuilder:
             )
         return jax.jit(step, donate_argnums=(0,))
 
+    def _build_group_step(self, depth: int, batch_size: int, fade: bool,
+                          group: int) -> Callable:
+        """``group`` consecutive train steps as ONE compiled program.
+
+        The per-step host dispatch through the runtime costs a fixed
+        ~5 ms/step wall on the attached tunnel (measured: the depth-0 step
+        walls 5.3 ms with sub-ms device self-time) — at the 128px headline
+        stage that is >10% of the step. Scanning the whole step over a
+        leading group axis amortizes it ``group``-fold. Semantics are EXACT,
+        not approximated: ``alpha``/``lr`` arrive as per-step vectors (the
+        fade and LR ramp advance inside the group just as they would across
+        separate dispatches), reals carry one batch per step, and metrics
+        come back STACKED per step (shape (group,)) so the loss monitors'
+        per-tick means cover every step, not a subsample.
+        """
+        raw = self._raw_step(depth, batch_size, fade)
+
+        def gstep(state: TrainState, reals: jax.Array, alphas: jax.Array,
+                  lrs_d: jax.Array, lrs_g: jax.Array):
+            def body(st, xs):
+                r, a, ld, lg = xs
+                return raw(st, r, a, ld, lg)
+
+            return jax.lax.scan(body, state, (reals, alphas, lrs_d, lrs_g))
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            batch_shd = NamedSharding(self.mesh,
+                                      P(None, None, self.batch_axis))
+            return jax.jit(
+                gstep,
+                donate_argnums=(0,),
+                in_shardings=(replicated, batch_shd, None, None, None),
+                out_shardings=(replicated, replicated),
+            )
+        return jax.jit(gstep, donate_argnums=(0,))
+
     def step_fn(self, depth: int, batch_size: int,
                 fade: bool = True) -> Callable:
         """Jitted step for (depth, batch, fade). ``fade=False`` compiles
@@ -168,6 +214,18 @@ class TrainStepBuilder:
         key = (depth, batch_size, fade)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(depth, batch_size, fade)
+        return self._step_cache[key]
+
+    def group_step_fn(self, depth: int, batch_size: int, fade: bool,
+                      group: int) -> Callable:
+        """Jitted ``group``-step program for (depth, batch, fade): signature
+        (state, reals (G,R,B,H,W,C), alphas (G,), lrs_d (G,), lrs_g (G,))
+        -> (state, metrics stacked over the group). Callers wanting one
+        step per dispatch use ``step_fn`` (no scan wrapper) instead."""
+        key = (depth, batch_size, fade, group)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_group_step(
+                depth, batch_size, fade, group)
         return self._step_cache[key]
 
     def precompile(self, depth: int, batch_size: int, fade: bool,
@@ -213,12 +271,14 @@ class TrainStepBuilder:
 
             @jax.jit
             def prep(u8, alpha):
+                # leading dims are free-form: (R, B, ...) for one step,
+                # (group, R, B, ...) for a grouped dispatch
                 x = u8.astype(jnp.float32)
-                r, b, h, w, c = x.shape
-                t = x.reshape(r, b, h // 2, 2, w // 2, 2, c).mean(axis=(3, 5))
-                t = jnp.broadcast_to(t[:, :, :, None, :, None, :],
-                                     (r, b, h // 2, 2, w // 2, 2, c)
-                                     ).reshape(x.shape)
+                *lead, h, w, c = x.shape
+                blocks = (*lead, h // 2, 2, w // 2, 2, c)
+                t = x.reshape(blocks).mean(axis=(-4, -2))
+                t = jnp.broadcast_to(
+                    jnp.expand_dims(t, axis=(-4, -2)), blocks).reshape(x.shape)
                 alpha = jnp.asarray(alpha, jnp.float32)
                 x = x * alpha + t * (1.0 - alpha)
                 return (x - min_in) * scale + min_out

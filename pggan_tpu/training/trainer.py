@@ -46,10 +46,25 @@ class Trainer:
                  D_training_repeats=1,
                  tick_nimg_default=2 * 1000,
                  resume_nimg=0,
-                 resume_iterations=0):
+                 resume_iterations=0,
+                 steps_per_dispatch=8):
         self.G = G
         self.D = D
         self.builder = builder
+        # Grouped dispatch: up to this many consecutive steps are scanned
+        # into ONE compiled program (steps.py group_step_fn) whenever the
+        # schedule is provably constant over the window — amortizes the
+        # fixed per-dispatch host/runtime cost. 1 disables grouping.
+        self.steps_per_dispatch = int(steps_per_dispatch)
+        # Pure lookahead hooks the schedule plugins install at registration:
+        # ``schedule_horizon(nimg) -> float`` (images until (depth, alpha)
+        # next changes; DepthManager) and ``lr_lookahead(nimg) ->
+        # (lr_d, lr_g)`` (LRScheduler). Grouping stays off until a horizon
+        # is known — a custom plugin mutating the stage mid-window would
+        # otherwise be skipped silently.
+        self.schedule_horizon = None
+        self.lr_lookahead = None
+        self.total_nimg = None
         self.state = state
         self.dataset = dataset
         self.dataiter = dataiter
@@ -107,6 +122,7 @@ class Trainer:
     # -- run loop (reference trainer.py:71-83 semantics) ---------------------
     def run(self, total_kimg=1):
         total_nimg = total_kimg * 1000
+        self.total_nimg = total_nimg
         while self.cur_nimg < total_nimg:
             self.train()
             if (self.cur_nimg >= self.tick_start_nimg + self.tick_duration_nimg
@@ -121,9 +137,102 @@ class Trainer:
         self.stats["tick_stat"]["val"] = self.cur_tick
         self.call_plugins("epoch", self.cur_tick)
 
+    # -- grouped dispatch ----------------------------------------------------
+    def _plan_group(self):
+        """How many steps the next dispatch may fuse (steps.py
+        group_step_fn). >1 only when provably exact: a schedule-stable
+        window (``schedule_horizon`` covers the whole group — fades return
+        horizon 0 and stay per-step), not crossing a tick or run boundary
+        any further than a single step would, and always exactly
+        ``steps_per_dispatch`` steps — smaller groups near boundaries fall
+        back to per-step dispatch so only ONE grouped program is ever
+        compiled per (depth, batch) instead of one per residual length.
+        """
+        spd = self.steps_per_dispatch
+        if (spd <= 1 or self.schedule_horizon is None
+                or self.minibatch_size is None or self.alpha < 1.0):
+            return 1
+        per = self.minibatch_size * self.D_training_repeats
+        if self.schedule_horizon(self.cur_nimg) < spd * per:
+            return 1
+        remaining = self.tick_start_nimg + self.tick_duration_nimg - self.cur_nimg
+        if self.total_nimg is not None:
+            remaining = min(remaining, self.total_nimg - self.cur_nimg)
+        if -(-remaining // per) < spd:  # ceil: steps fitting before boundary
+            return 1
+        return spd
+
+    def _train_grouped(self, group):
+        """``group`` iterations in ONE device dispatch. Exact per-step
+        semantics: one real batch per step, the LR ramp advances through the
+        per-step lr vectors (``lr_lookahead``), metrics return stacked
+        (group,) so the loss monitors' tick means cover every step. The
+        iteration plugin queue is drained once per dispatch at the final
+        iteration count — the schedule plugins are nimg-pure so this is
+        equivalent, and loss monitors consume the stacked vectors."""
+        import jax
+        repeats = self.D_training_repeats
+        raw = [np.asarray(next(self.dataiter))
+               for _ in range(group * repeats)]
+        local_batch = raw[0].shape[0]
+        reals = np.stack(raw, axis=0).reshape(
+            (group, repeats) + raw[0].shape)
+        multihost = (self.builder.mesh is not None
+                     and jax.process_count() > 1)
+        batch = local_batch * (jax.process_count() if multihost else 1)
+        if batch != self.minibatch_size:
+            raise RuntimeError(
+                f"grouped dispatch planned for minibatch "
+                f"{self.minibatch_size} but the data iterator served "
+                f"{batch}; keep them in sync or set steps_per_dispatch=1")
+        per = batch * repeats
+        start_nimg = self.cur_nimg
+        self.cur_nimg += group * per
+
+        if multihost:
+            from pggan_tpu.parallel.mesh import make_global_batch
+            reals = make_global_batch(reals, self.builder.mesh,
+                                      self.builder.batch_axis, batch_dim=2)
+        if reals.dtype == np.uint8:
+            ds = self.dataset
+            prep = self.builder.prep_fn(
+                ds.range_in if ds is not None else (0, 255),
+                ds.range_out if ds is not None else (-1, 1))
+            reals = prep(reals, np.float32(self.alpha))
+        elif reals.dtype != np.float32:
+            reals = np.asarray(reals, np.float32) if isinstance(
+                reals, np.ndarray) else reals.astype(np.float32)
+
+        # alpha is constant over the window by construction (_plan_group
+        # requires a stable schedule horizon); lr may ramp per step.
+        alphas = np.full((group,), self.alpha, np.float32)
+        if self.lr_lookahead is not None:
+            # step k consumes the lr the scheduler would have set after
+            # step k-1, i.e. at nimg = start + k*per (matching the plugin
+            # call order of the per-step path)
+            pairs = [self.lr_lookahead(start_nimg + k * per)
+                     for k in range(group)]
+            lrs_d = np.asarray([p[0] for p in pairs], np.float32)
+            lrs_g = np.asarray([p[1] for p in pairs], np.float32)
+        else:
+            lrs_d = np.full((group,), self.lr_d, np.float32)
+            lrs_g = np.full((group,), self.lr_g, np.float32)
+
+        gstep = self.builder.group_step_fn(self.depth, batch,
+                                           self.alpha < 1.0, group)
+        self.state, metrics = gstep(self.state, reals, alphas, lrs_d, lrs_g)
+        self.iterations += group
+        self.call_plugins("iteration", self.iterations,
+                          metrics["G_loss"], metrics["D_loss"],
+                          metrics["D_real"], metrics["D_fake"])
+
     # -- hot loop (reference trainer.py:85-115, fused) ----------------------
     def train(self):
         import jax
+        group = self._plan_group()
+        if group > 1:
+            self._train_grouped(group)
+            return
         raw = [np.asarray(next(self.dataiter))
                for _ in range(self.D_training_repeats)]
         local_batch = raw[0].shape[0]
