@@ -3,7 +3,9 @@
 
 Measures kimg/hour/chip at EVERY progressive depth 0..8 (4x4 -> 1024x1024,
 full fmap_base-4096 models, the reference's per-depth minibatch overrides
-plugins.py:19-20) on the attached TPU chip — the driver metric is literally
+plugins.py:19-20) on the attached TPU chip, through the Trainer's default
+grouped-dispatch path (GROUP steps scanned into one compiled program — the
+same program a real stable-phase run dispatches) — the driver metric is literally
 "kimg/hour/chip per depth" (BASELINE.json) — and prints ONE JSON line for
 the headline CelebA-128 stage (depth 5, minibatch 16, BASELINE.json
 config 3):
@@ -32,9 +34,16 @@ REFERENCE_ANCHOR_KIMG_PER_HOUR = 900.0  # see BASELINE.md "anchor" row
 MINIBATCH = {d: 16 for d in range(9)}
 MINIBATCH.update({6: 14, 7: 6, 8: 3})
 
-# timing-loop length per depth: long enough to swamp dispatch overhead at
-# fast stages, short enough to keep the 1024px stage affordable
-ITERS = {0: 150, 1: 150, 2: 150, 3: 100, 4: 50, 5: 20, 6: 15, 7: 10, 8: 8}
+# Steps fused per dispatch: the Trainer's default grouped-dispatch size
+# (training/trainer.py steps_per_dispatch=8) — one lax.scan program per 8
+# steps amortizes the fixed ~5 ms/step host-dispatch cost of the attached
+# tunnel. The bench measures the SAME program the stable training phase
+# dispatches, so the wall number is the throughput a real run sees.
+GROUP = 8
+
+# timing-loop length per depth, in grouped DISPATCHES (x GROUP steps each):
+# long enough to swamp residual overhead, short enough to keep 1024px cheap
+DISPATCHES = {0: 20, 1: 20, 2: 20, 3: 12, 4: 6, 5: 3, 6: 2, 7: 2, 8: 1}
 
 # rounds per depth: the chip is shared and contention inflates wall clock
 # one-sidedly (up to 19x vs HLO self-time) — MANY short rounds maximize the
@@ -44,33 +53,40 @@ ROUNDS = {d: 8 for d in range(9)}
 ROUNDS[5] = 16
 
 
-def time_step(builder, state, depth, batch, iters, warmup=3, rounds=8):
-    """Steady-state per-round step times. The attached runtime pipelines
-    dispatches deeply, so the FIRST timing round mostly measures dispatch
-    while real execution lags behind; it is discarded (pipeline
-    absorption). Consumers take the MIN over rounds: the chip is
-    multi-tenant and contention inflates wall clock asymmetrically
-    (observed up to 19x vs HLO self-time) — the minimum over many short
-    rounds is the standard estimator for the machine's actual capability
-    under one-sided noise (cf. timeit). See BASELINE.md caveats."""
+def time_step(builder, state, depth, batch, iters, warmup=2, rounds=8):
+    """Steady-state per-round per-STEP times through the grouped-dispatch
+    program (``iters`` dispatches x GROUP scanned steps per round). The
+    attached runtime pipelines dispatches deeply, so the FIRST timing round
+    mostly measures dispatch while real execution lags behind; it is
+    discarded (pipeline absorption). Consumers take the MIN over rounds:
+    the chip is multi-tenant and contention inflates wall clock
+    asymmetrically (observed up to 19x vs HLO self-time) — the minimum over
+    many short rounds is the standard estimator for the machine's actual
+    capability under one-sided noise (cf. timeit). See BASELINE.md."""
+    import jax
     # stable-phase graph (alpha == 1): the dominant training regime
-    step = builder.step_fn(depth, batch, fade=False)
+    step = builder.group_step_fn(depth, batch, fade=False, group=GROUP)
     reals = np.random.RandomState(0).randn(
-        *builder.real_batch_shape(depth, batch)).astype(np.float32)
-    alpha = np.float32(1.0)
-    lr = np.float32(1e-4)
+        GROUP, *builder.real_batch_shape(depth, batch)).astype(np.float32)
+    # one up-front transfer: in a real run the loader's prefetch threads
+    # overlap host->device copies with compute, so the copy is off the
+    # critical path there and stays off it here
+    reals = jax.device_put(reals)
+    alphas = jax.device_put(np.full((GROUP,), 1.0, np.float32))
+    lrs = jax.device_put(np.full((GROUP,), 1e-4, np.float32))
     for _ in range(warmup):
-        state, metrics = step(state, reals, alpha, lr, lr)
-    float(metrics["D_loss"])  # data fetch: the only reliable sync here —
-    # block_until_ready returns before remote execution completes
+        state, metrics = step(state, reals, alphas, lrs, lrs)
+    if warmup:
+        float(metrics["D_loss"][-1])  # data fetch: the only reliable sync —
+        # block_until_ready returns before remote execution completes
     times = []
     for rnd in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, metrics = step(state, reals, alpha, lr, lr)
-        float(metrics["D_loss"])  # forces the whole chained round to finish
+            state, metrics = step(state, reals, alphas, lrs, lrs)
+        float(metrics["D_loss"][-1])  # forces the chained round to finish
         if rnd > 0:
-            times.append((time.perf_counter() - t0) / iters)
+            times.append((time.perf_counter() - t0) / (iters * GROUP))
     return times, state
 
 
@@ -80,19 +96,21 @@ def headline_self_time(builder, state, depth, batch, n_steps=5):
     (CLAUDE.md measurement rules). Returns None if profiling tooling is
     unavailable."""
     try:
+        import jax
         from pggan_tpu.utils.profiling import self_time_ms_per_step
-        step = builder.step_fn(depth, batch, fade=False)
-        reals = np.random.RandomState(0).randn(
-            *builder.real_batch_shape(depth, batch)).astype(np.float32)
-        alpha, lr = np.float32(1.0), np.float32(1e-4)
+        step = builder.group_step_fn(depth, batch, fade=False, group=GROUP)
+        reals = jax.device_put(np.random.RandomState(0).randn(
+            GROUP, *builder.real_batch_shape(depth, batch)).astype(np.float32))
+        alphas = jax.device_put(np.full((GROUP,), 1.0, np.float32))
+        lrs = jax.device_put(np.full((GROUP,), 1e-4, np.float32))
 
         def run():
             nonlocal state
             for _ in range(n_steps):
-                state, metrics = step(state, reals, alpha, lr, lr)
-            float(metrics["D_loss"])
+                state, metrics = step(state, reals, alphas, lrs, lrs)
+            float(metrics["D_loss"][-1])
 
-        return self_time_ms_per_step(run, n_steps)
+        return self_time_ms_per_step(run, n_steps * GROUP)
     except Exception as e:  # profiler/tooling hiccups must not kill the bench
         print(f"self-time capture failed: {e}", file=sys.stderr)
         return None
@@ -127,7 +145,7 @@ def main():
         # ~20-minute span, so the min-estimator gets a shot at every quiet
         # window instead of betting on one contiguous minute.
         ts, st = time_step(builder, state, 5, MINIBATCH[5],
-                           iters=iters, rounds=rounds, warmup=1)
+                           iters=iters, rounds=rounds, warmup=0)
         d5_times.extend(ts)
         return st
 
@@ -137,7 +155,7 @@ def main():
         for attempt in range(2):  # the remote-compile tunnel has drops
             try:
                 times, state = time_step(builder, state, depth, batch,
-                                         iters=ITERS[depth],
+                                         iters=DISPATCHES[depth],
                                          rounds=ROUNDS[depth])
                 dt = float(np.min(times))
                 if depth == 5:
@@ -155,7 +173,7 @@ def main():
                     raise  # the headline metric must not be silently absent
         if depth >= 5 and 5 in table and not only:
             try:
-                state = sample_d5(iters=12, rounds=4)
+                state = sample_d5(iters=2, rounds=4)
             except Exception as e:
                 print(f"d5 resample after depth {depth}: {e}",
                       file=sys.stderr)
@@ -164,7 +182,7 @@ def main():
         raise SystemExit("headline depth-5 measurement missing")
     if not only:  # final spread sample at the very end of the run
         try:
-            state = sample_d5(iters=12, rounds=6)
+            state = sample_d5(iters=2, rounds=6)
         except Exception as e:
             print(f"d5 final resample: {e}", file=sys.stderr)
     dt5 = float(np.min(d5_times))
