@@ -100,11 +100,19 @@ class TrainStepBuilder:
             def g_apply(p, z):
                 return G.apply(p, z, depth, alpha, fade)
 
+            # PGGAN_MERGED_D=0 splits the merged real+fake critic pass back
+            # into two d_apply calls — an A/B instrument (profiling showed
+            # the merge perf-neutral at depth 5; it stays on for the halved
+            # dispatch count). Exactly equal numerics either way.
+            import os
+            pair = (d_apply_pair
+                    if os.environ.get("PGGAN_MERGED_D", "1") != "0" else None)
+
             def d_loss_fn(d_params, real, z, key):
                 return wgan_gp_D_loss(d_apply, g_apply, d_params,
                                       state.g_params, real, z, key,
                                       lam, eps_drift, target,
-                                      d_apply_pair=d_apply_pair)
+                                      d_apply_pair=pair)
 
             def d_phase(carry, real):
                 d_params, d_opt, rng = carry
