@@ -102,6 +102,15 @@ class DepthManager(Plugin):
         trainer.schedule_horizon = lambda nimg: schedule.stable_nimg_horizon(
             nimg, self.max_depth,
             self.lod_training_nimg, self.lod_transition_nimg)
+        # fade-window duals: how long the current fade keeps alpha < 1 at
+        # constant depth, and the exact per-nimg (depth, alpha) law — lets
+        # the Trainer group fade steps with per-step alpha vectors
+        trainer.fade_horizon = lambda nimg: schedule.fade_nimg_horizon(
+            nimg, self.max_depth,
+            self.lod_training_nimg, self.lod_transition_nimg)
+        trainer.alpha_lookahead = lambda nimg: schedule.depth_alpha_schedule(
+            nimg, self.max_depth,
+            self.lod_training_nimg, self.lod_transition_nimg)
         if self.lod_transition_nimg > self.lod_training_nimg:
             # the nimg->(depth, alpha) divmod law (inherited from the
             # reference, plugins.py:57-63) mis-schedules in this regime:

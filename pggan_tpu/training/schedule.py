@@ -64,6 +64,26 @@ def stable_nimg_horizon(cur_nimg: int, max_depth: int,
     return lod_training_nimg - rem1
 
 
+def fade_nimg_horizon(cur_nimg: int, max_depth: int,
+                      lod_training_nimg: int = LOD_TRAINING_NIMG,
+                      lod_transition_nimg: int = LOD_TRANSITION_NIMG) -> int:
+    """Images from ``cur_nimg`` until the current fade's alpha reaches 1.0.
+
+    Inside a transition window (``depth_alpha_schedule`` yielding alpha < 1),
+    depth is constant and alpha is strictly below 1 for every nimg in
+    ``[cur_nimg, cur_nimg + N)`` where N is the returned horizon — the dual
+    of ``stable_nimg_horizon`` that lets the Trainer group fade steps into
+    one dispatch with EXACT per-step alphas (steps.py group_step_fn takes
+    alpha as a per-step vector). Returns 0 when not inside a fade (stable
+    phase, or depth clamped at ``max_depth`` so alpha pins to 1.0).
+    """
+    period = lod_training_nimg + lod_transition_nimg
+    full_passes, rem1 = divmod(cur_nimg, period)
+    if full_passes + 1 > max_depth or rem1 < lod_training_nimg:
+        return 0
+    return period - rem1
+
+
 def minibatch_for_depth(depth: int, default: int = MINIBATCH_DEFAULT,
                         overrides: dict | None = None) -> int:
     overrides = MINIBATCH_OVERRIDES if overrides is None else overrides

@@ -280,7 +280,10 @@ class TrainStepBuilder:
             @jax.jit
             def prep(u8, alpha):
                 # leading dims are free-form: (R, B, ...) for one step,
-                # (group, R, B, ...) for a grouped dispatch
+                # (group, R, B, ...) for a grouped dispatch. ``alpha`` is a
+                # scalar, or a per-step vector aligned with the LEADING dim
+                # (a grouped fade window) — reshaped to broadcast from the
+                # left, not numpy's default right-alignment.
                 x = u8.astype(jnp.float32)
                 *lead, h, w, c = x.shape
                 blocks = (*lead, h // 2, 2, w // 2, 2, c)
@@ -288,6 +291,8 @@ class TrainStepBuilder:
                 t = jnp.broadcast_to(
                     jnp.expand_dims(t, axis=(-4, -2)), blocks).reshape(x.shape)
                 alpha = jnp.asarray(alpha, jnp.float32)
+                alpha = alpha.reshape(
+                    alpha.shape + (1,) * (x.ndim - alpha.ndim))
                 x = x * alpha + t * (1.0 - alpha)
                 return (x - min_in) * scale + min_out
 

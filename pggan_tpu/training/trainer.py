@@ -64,6 +64,12 @@ class Trainer:
         # otherwise be skipped silently.
         self.schedule_horizon = None
         self.lr_lookahead = None
+        # fade-window duals (DepthManager): ``fade_horizon(nimg)`` — images
+        # until the running fade's alpha hits 1.0 — and ``alpha_lookahead
+        # (nimg) -> (depth, alpha)``; enable grouped dispatch INSIDE fades
+        # with exact per-step alpha vectors.
+        self.fade_horizon = None
+        self.alpha_lookahead = None
         self.total_nimg = None
         self.state = state
         self.dataset = dataset
@@ -140,20 +146,33 @@ class Trainer:
     # -- grouped dispatch ----------------------------------------------------
     def _plan_group(self):
         """How many steps the next dispatch may fuse (steps.py
-        group_step_fn). >1 only when provably exact: a schedule-stable
-        window (``schedule_horizon`` covers the whole group — fades return
-        horizon 0 and stay per-step), not crossing a tick or run boundary
-        any further than a single step would, and always exactly
-        ``steps_per_dispatch`` steps — smaller groups near boundaries fall
-        back to per-step dispatch so only ONE grouped program is ever
-        compiled per (depth, batch) instead of one per residual length.
+        group_step_fn). >1 only when provably exact: either a
+        schedule-stable window (``schedule_horizon`` covers the whole
+        group) or a window fully inside one fade (``fade_horizon`` — alpha
+        then advances per step through the grouped program's alpha vector,
+        exactly as the per-step path would have set it); never crossing a
+        tick or run boundary any further than a single step would, and
+        always exactly ``steps_per_dispatch`` steps — smaller groups near
+        boundaries fall back to per-step dispatch so only TWO grouped
+        programs (stable + fade) are ever compiled per (depth, batch)
+        instead of one per residual length.
         """
         spd = self.steps_per_dispatch
         if (spd <= 1 or self.schedule_horizon is None
-                or self.minibatch_size is None or self.alpha < 1.0):
+                or self.minibatch_size is None):
             return 1
         per = self.minibatch_size * self.D_training_repeats
-        if self.schedule_horizon(self.cur_nimg) < spd * per:
+        if self.alpha < 1.0:
+            # fade window: alpha advances per step INSIDE the group via the
+            # per-step alpha vector; grouping is sound while the whole
+            # window stays in this fade — the last step's alpha, taken at
+            # nimg = start + (spd-1)*per, must still be < 1.0 so every step
+            # uses the fade graph the per-step path would have used
+            if self.fade_horizon is None or self.alpha_lookahead is None:
+                return 1
+            if self.fade_horizon(self.cur_nimg) <= (spd - 1) * per:
+                return 1
+        elif self.schedule_horizon(self.cur_nimg) < spd * per:
             return 1
         remaining = self.tick_start_nimg + self.tick_duration_nimg - self.cur_nimg
         if self.total_nimg is not None:
@@ -169,7 +188,15 @@ class Trainer:
         (group,) so the loss monitors' tick means cover every step. The
         iteration plugin queue is drained once per dispatch at the final
         iteration count — the schedule plugins are nimg-pure so this is
-        equivalent, and loss monitors consume the stacked vectors."""
+        equivalent, and loss monitors consume the stacked vectors.
+
+        Fade windows: model alphas are exact per step (vector); the DATA
+        fade blend is exact per step on the uint8 device-prep path, while
+        host-prepped float batches carry the loader's prefetch-time alpha —
+        staleness grows from (prefetch_depth+1)*per to (prefetch_depth+
+        group)*per images, a <0.2% alpha offset on the reference schedule
+        (and strictly tighter than the reference's forked workers, which
+        froze alpha for their whole lifetime — dataset.py:109-113)."""
         import jax
         repeats = self.D_training_repeats
         raw = [np.asarray(next(self.dataiter))
@@ -193,19 +220,33 @@ class Trainer:
             from pggan_tpu.parallel.mesh import make_global_batch
             reals = make_global_batch(reals, self.builder.mesh,
                                       self.builder.batch_axis, batch_dim=2)
+        # Per-step alphas: constant 1.0 in stable windows; inside a fade,
+        # step k consumes the alpha the DepthManager would have set after
+        # step k-1, i.e. the law at nimg = start + k*per — exactly the
+        # per-step path's sequencing (the plugin recomputes alpha from the
+        # post-step nimg before the next step runs).
+        if self.alpha < 1.0:
+            pairs = [self.alpha_lookahead(start_nimg + k * per)
+                     for k in range(group)]
+            if any(d != self.depth or a >= 1.0 for d, a in pairs):
+                raise RuntimeError(
+                    f"grouped fade window left its stage: {pairs} from "
+                    f"nimg {start_nimg} at depth {self.depth}")
+            alphas = np.asarray([a for _, a in pairs], np.float32)
+        else:
+            alphas = np.full((group,), self.alpha, np.float32)
+
         if reals.dtype == np.uint8:
             ds = self.dataset
             prep = self.builder.prep_fn(
                 ds.range_in if ds is not None else (0, 255),
                 ds.range_out if ds is not None else (-1, 1))
-            reals = prep(reals, np.float32(self.alpha))
+            # per-step alpha vector broadcasts over the group dim, so the
+            # device-side fade blend is exact per step
+            reals = prep(reals, alphas)
         elif reals.dtype != np.float32:
             reals = np.asarray(reals, np.float32) if isinstance(
                 reals, np.ndarray) else reals.astype(np.float32)
-
-        # alpha is constant over the window by construction (_plan_group
-        # requires a stable schedule horizon); lr may ramp per step.
-        alphas = np.full((group,), self.alpha, np.float32)
         if self.lr_lookahead is not None:
             # step k consumes the lr the scheduler would have set after
             # step k-1, i.e. at nimg = start + k*per (matching the plugin

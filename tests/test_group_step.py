@@ -20,6 +20,7 @@ from pggan_tpu.training.plugins import (
 )
 from pggan_tpu.training.schedule import (
     depth_alpha_schedule,
+    fade_nimg_horizon,
     stable_nimg_horizon,
 )
 from pggan_tpu.training.state import init_state
@@ -57,6 +58,31 @@ def test_horizon_fade_is_zero():
     assert stable_nimg_horizon(0, 8, 96, 96) == 96
     assert stable_nimg_horizon(95, 8, 96, 96) == 1
     assert math.isinf(stable_nimg_horizon(8 * 192, 8, 96, 96))
+
+
+def test_fade_horizon_law():
+    """fade_nimg_horizon N: alpha < 1.0 at constant depth on [n, n+N), and
+    alpha == 1.0 (stable) at exactly n + N; 0 outside fades."""
+    max_depth, tr, fa = 3, 96, 64
+    period = tr + fa
+    for n in range(0, (max_depth + 2) * period, 13):
+        nf = fade_nimg_horizon(n, max_depth, tr, fa)
+        d0, a0 = depth_alpha_schedule(n, max_depth, tr, fa)
+        if a0 < 1.0:
+            assert nf > 0, n
+            for k in range(0, nf, max(1, nf // 7)):
+                d, a = depth_alpha_schedule(n + k, max_depth, tr, fa)
+                assert d == d0 and a < 1.0, (n, k)
+            assert depth_alpha_schedule(n + nf, max_depth, tr, fa)[1] == 1.0
+        else:
+            assert nf == 0, n
+    # stable phases and the post-clamp terminal phase report 0
+    assert fade_nimg_horizon(0, max_depth, tr, fa) == 0
+    assert fade_nimg_horizon(max_depth * period + tr + 5,
+                             max_depth, tr, fa) == 0
+    # exactly at fade start / one before fade end
+    assert fade_nimg_horizon(tr, max_depth, tr, fa) == fa
+    assert fade_nimg_horizon(period - 1, max_depth, tr, fa) == 1
 
 
 # -- direct step-builder exactness ------------------------------------------
@@ -109,6 +135,23 @@ def test_group_step_matches_per_step(tiny):
         jax.device_get(gstate.g_params), ref_params)
 
 
+def test_prep_vector_alpha_matches_scalar(tiny):
+    """Device-side input prep with a per-step alpha VECTOR (grouped fade
+    dispatch) must equal per-step scalar prep — the vector broadcasts over
+    the leading group dim, not numpy-style over trailing dims."""
+    G, D, opt, _ = tiny
+    builder = TrainStepBuilder(G, D, opt)
+    prep = builder.prep_fn((0, 255), (-1, 1))
+    u8 = np.random.RandomState(0).randint(
+        0, 256, (3, 1, 4, 8, 8, 1), dtype=np.uint8)
+    alphas = np.asarray([0.0, 0.4, 1.0], np.float32)
+    grouped = np.asarray(prep(u8, alphas))
+    for k, a in enumerate(alphas):
+        np.testing.assert_allclose(
+            grouped[k], np.asarray(prep(u8[k], np.float32(a))),
+            rtol=1e-6, atol=1e-6, err_msg=f"step {k} alpha {a}")
+
+
 # -- trainer-level gating ----------------------------------------------------
 
 class _Stub:
@@ -127,9 +170,16 @@ def test_plan_group_gating():
     assert t._plan_group() == 1
     t.schedule_horizon = lambda nimg: math.inf
     assert t._plan_group() == 4
-    # fade disables grouping regardless of the horizon
+    # fade: groups only when the fade hooks are installed AND the whole
+    # window stays strictly inside the fade (last step's alpha < 1 at
+    # nimg = start + (spd-1)*per = 24 here)
     t.alpha = 0.5
+    assert t._plan_group() == 1  # no fade hooks -> per-step
+    t.alpha_lookahead = lambda nimg: (0, 0.5)
+    t.fade_horizon = lambda nimg: 3 * 8  # == (spd-1)*per: last step hits 1.0
     assert t._plan_group() == 1
+    t.fade_horizon = lambda nimg: 3 * 8 + 1
+    assert t._plan_group() == 4
     t.alpha = 1.0
     # horizon shorter than the full group window -> per-step
     t.schedule_horizon = lambda nimg: 4 * 8 - 1
@@ -216,9 +266,14 @@ def test_trainer_grouped_equals_per_step():
     assert a.iterations == b.iterations
     assert a.cur_tick == b.cur_tick
     assert (a.depth, a.alpha) == (b.depth, b.alpha)
-    # grouped mode really engaged: a 4-tuple step-cache key exists
-    assert any(len(k) == 4 for k in b.builder._step_cache), (
-        "grouped program never compiled — gating too strict")
+    # grouped mode really engaged, in BOTH phases: 4-tuple step-cache keys
+    # exist for a stable (fade=False) and a fade (fade=True) window
+    assert any(len(k) == 4 and k[2] is False
+               for k in b.builder._step_cache), (
+        "grouped stable program never compiled — gating too strict")
+    assert any(len(k) == 4 and k[2] is True
+               for k in b.builder._step_cache), (
+        "grouped fade program never compiled — fade gating too strict")
     # numerics: fp32 reassociation noise (scan vs unrolled fusion) compounds
     # through 50 adversarial steps — the TIGHT per-step equivalence is
     # test_group_step_matches_per_step; here we sanity-bound the drift
