@@ -447,7 +447,16 @@ class TraceProfiler(Plugin):
     lacks, SURVEY.md §5): records a ``jax.profiler`` trace of
     ``num_iterations`` steady-state iterations into ``profile_dir`` (viewable
     with TensorBoard / xprof). Starts after ``start_iteration`` so compile
-    time is excluded."""
+    time is excluded.
+
+    Under grouped dispatch (Trainer.steps_per_dispatch > 1, the default)
+    the iteration index advances by the group size per drain, so the
+    trace window rounds outward to group boundaries: it starts at the
+    first drain at/after ``start_iteration`` and covers at least
+    ``num_iterations`` iterations — whole grouped programs, typically
+    ``ceil(num_iterations / group)`` of them. Set
+    ``--Trainer.steps_per_dispatch 1`` to trace exact single-step windows.
+    """
 
     def __init__(self, profile_dir, start_iteration=20, num_iterations=5):
         super().__init__([(1, "iteration")])

@@ -100,13 +100,17 @@ class TrainStepBuilder:
             def g_apply(p, z):
                 return G.apply(p, z, depth, alpha, fade)
 
-            # PGGAN_MERGED_D=0 splits the merged real+fake critic pass back
-            # into two d_apply calls — an A/B instrument (profiling showed
-            # the merge perf-neutral at depth 5; it stays on for the halved
-            # dispatch count). Exactly equal numerics either way.
+            # The merged real+fake critic pass runs SINGLE-CHIP only: under
+            # a sharded mesh, concatenating along the sharded batch axis
+            # forces GSPMD to reshuffle both halves across devices (profiled:
+            # activation-sized all-to-alls from jvp()/concatenate plus
+            # collective-permutes re-slicing the scores — caught by
+            # tests/test_collective_audit.py), while on one chip it just
+            # halves the D-forward op count (measured perf-neutral).
+            # PGGAN_MERGED_D=0 forces it off for A/B. Equal numerics either way.
             import os
-            pair = (d_apply_pair
-                    if os.environ.get("PGGAN_MERGED_D", "1") != "0" else None)
+            pair = (d_apply_pair if self.mesh is None and
+                    os.environ.get("PGGAN_MERGED_D", "1") != "0" else None)
 
             def d_loss_fn(d_params, real, z, key):
                 return wgan_gp_D_loss(d_apply, g_apply, d_params,

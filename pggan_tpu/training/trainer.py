@@ -172,6 +172,16 @@ class Trainer:
                 return 1
             if self.fade_horizon(self.cur_nimg) <= (spd - 1) * per:
                 return 1
+            # Defensive cross-check of every step's law point: in the warned
+            # lod_transition > lod_training regime the divmod schedule can
+            # change depth INSIDE what fade_nimg_horizon promised was one
+            # fade (DepthManager prints the warning at registration); the
+            # per-step path runs that degenerate schedule, so fall back to
+            # it rather than dispatch a grouped window that would desync.
+            pairs = [self.alpha_lookahead(self.cur_nimg + k * per)
+                     for k in range(spd)]
+            if any(d != self.depth or a >= 1.0 for d, a in pairs):
+                return 1
         elif self.schedule_horizon(self.cur_nimg) < spd * per:
             return 1
         remaining = self.tick_start_nimg + self.tick_duration_nimg - self.cur_nimg
@@ -197,56 +207,33 @@ class Trainer:
         group)*per images, a <0.2% alpha offset on the reference schedule
         (and strictly tighter than the reference's forked workers, which
         froze alpha for their whole lifetime — dataset.py:109-113)."""
-        import jax
-        repeats = self.D_training_repeats
-        raw = [np.asarray(next(self.dataiter))
-               for _ in range(group * repeats)]
-        local_batch = raw[0].shape[0]
-        reals = np.stack(raw, axis=0).reshape(
-            (group, repeats) + raw[0].shape)
-        multihost = (self.builder.mesh is not None
-                     and jax.process_count() > 1)
-        batch = local_batch * (jax.process_count() if multihost else 1)
-        if batch != self.minibatch_size:
-            raise RuntimeError(
-                f"grouped dispatch planned for minibatch "
-                f"{self.minibatch_size} but the data iterator served "
-                f"{batch}; keep them in sync or set steps_per_dispatch=1")
-        per = batch * repeats
+        # Per-step alphas first (they drive the uint8 device blend):
+        # constant 1.0 in stable windows; inside a fade, step k consumes
+        # the alpha the DepthManager would have set after step k-1, i.e.
+        # the law at nimg = start + k*per — exactly the per-step path's
+        # sequencing (the plugin recomputes alpha from the post-step nimg
+        # before the next step runs).
+        per_planned = self.minibatch_size * self.D_training_repeats
         start_nimg = self.cur_nimg
-        self.cur_nimg += group * per
-
-        if multihost:
-            from pggan_tpu.parallel.mesh import make_global_batch
-            reals = make_global_batch(reals, self.builder.mesh,
-                                      self.builder.batch_axis, batch_dim=2)
-        # Per-step alphas: constant 1.0 in stable windows; inside a fade,
-        # step k consumes the alpha the DepthManager would have set after
-        # step k-1, i.e. the law at nimg = start + k*per — exactly the
-        # per-step path's sequencing (the plugin recomputes alpha from the
-        # post-step nimg before the next step runs).
         if self.alpha < 1.0:
-            pairs = [self.alpha_lookahead(start_nimg + k * per)
+            pairs = [self.alpha_lookahead(start_nimg + k * per_planned)
                      for k in range(group)]
             if any(d != self.depth or a >= 1.0 for d, a in pairs):
-                raise RuntimeError(
+                raise RuntimeError(  # _plan_group pre-checks this law
                     f"grouped fade window left its stage: {pairs} from "
                     f"nimg {start_nimg} at depth {self.depth}")
             alphas = np.asarray([a for _, a in pairs], np.float32)
         else:
             alphas = np.full((group,), self.alpha, np.float32)
 
-        if reals.dtype == np.uint8:
-            ds = self.dataset
-            prep = self.builder.prep_fn(
-                ds.range_in if ds is not None else (0, 255),
-                ds.range_out if ds is not None else (-1, 1))
-            # per-step alpha vector broadcasts over the group dim, so the
-            # device-side fade blend is exact per step
-            reals = prep(reals, alphas)
-        elif reals.dtype != np.float32:
-            reals = np.asarray(reals, np.float32) if isinstance(
-                reals, np.ndarray) else reals.astype(np.float32)
+        reals, batch = self._fetch_reals(group, alphas)
+        if batch != self.minibatch_size:
+            raise RuntimeError(
+                f"grouped dispatch planned for minibatch "
+                f"{self.minibatch_size} but the data iterator served "
+                f"{batch}; keep them in sync or set steps_per_dispatch=1")
+        per = batch * self.D_training_repeats
+        self.cur_nimg += group * per
         if self.lr_lookahead is not None:
             # step k consumes the lr the scheduler would have set after
             # step k-1, i.e. at nimg = start + k*per (matching the plugin
@@ -267,39 +254,54 @@ class Trainer:
                           metrics["G_loss"], metrics["D_loss"],
                           metrics["D_real"], metrics["D_fake"])
 
-    # -- hot loop (reference trainer.py:85-115, fused) ----------------------
-    def train(self):
+    def _fetch_reals(self, n_steps, alpha):
+        """Assemble the real input for ``n_steps`` consecutive steps: fetch
+        ``n_steps * D_training_repeats`` local batches, build the (global)
+        tensor with leading dims ``(n_steps, repeats)`` — the single-step
+        caller passes ``n_steps=1`` and gets the step's ``(repeats, B, ...)``
+        directly — and run the dtype/device prep. Multi-host: each process
+        feeds its local shard (batch/nimg accounting is global); uint8 raw
+        pixels ship 4x smaller and the fade + dynamic-range prep runs on
+        device fused by XLA, blended by ``alpha`` (a scalar, or one per step
+        for a grouped fade window). Returns ``(reals, global_batch)``.
+
+        This is THE data path for both dispatch modes — keep it single so a
+        dtype/prep/sharding fix can never reach one mode and miss the other.
+        """
         import jax
-        group = self._plan_group()
-        if group > 1:
-            self._train_grouped(group)
-            return
+        repeats = self.D_training_repeats
         raw = [np.asarray(next(self.dataiter))
-               for _ in range(self.D_training_repeats)]
+               for _ in range(n_steps * repeats)]
         local_batch = raw[0].shape[0]
-        reals = np.stack(raw, axis=0)
-        # Multi-host: each host feeds its local shard; batch/nimg accounting
-        # is global (local * process_count).
+        lead = (n_steps, repeats) if n_steps > 1 else (repeats,)
+        reals = np.stack(raw, axis=0).reshape(lead + raw[0].shape)
         multihost = (self.builder.mesh is not None
                      and jax.process_count() > 1)
         batch = local_batch * (jax.process_count() if multihost else 1)
-        self.cur_nimg += batch * self.D_training_repeats
-
         if multihost:
             from pggan_tpu.parallel.mesh import make_global_batch
             reals = make_global_batch(reals, self.builder.mesh,
-                                      self.builder.batch_axis, batch_dim=1)
+                                      self.builder.batch_axis,
+                                      batch_dim=len(lead))
         if reals.dtype == np.uint8:
-            # raw pixels shipped to the device (4x smaller transfer);
-            # fade + dynamic-range prep runs on device, fused by XLA
             ds = self.dataset
             prep = self.builder.prep_fn(
                 ds.range_in if ds is not None else (0, 255),
                 ds.range_out if ds is not None else (-1, 1))
-            reals = prep(reals, np.float32(self.alpha))
+            reals = prep(reals, alpha)
         elif reals.dtype != np.float32:
             reals = np.asarray(reals, np.float32) if isinstance(
                 reals, np.ndarray) else reals.astype(np.float32)
+        return reals, batch
+
+    # -- hot loop (reference trainer.py:85-115, fused) ----------------------
+    def train(self):
+        group = self._plan_group()
+        if group > 1:
+            self._train_grouped(group)
+            return
+        reals, batch = self._fetch_reals(1, np.float32(self.alpha))
+        self.cur_nimg += batch * self.D_training_repeats
 
         # Stable phase (alpha == 1) uses the blend-free graph — the fade
         # paths are statically removed instead of multiplying by zero.

@@ -24,8 +24,13 @@ def capture_hlo_stats(run_fn, out_dir: str | None = None) -> list[dict]:
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="pggan_prof_")
     jax.profiler.start_trace(out_dir)
-    run_fn()
-    jax.profiler.stop_trace()
+    try:
+        run_fn()
+    finally:
+        # the profiler session is process-global: leaving it running after a
+        # run_fn failure (e.g. a tunnel drop mid-probe) would poison every
+        # later capture with "trace already being taken"
+        jax.profiler.stop_trace()
     paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
                       recursive=True)
     from xprof.convert import raw_to_tool_data as r

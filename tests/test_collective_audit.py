@@ -53,16 +53,42 @@ def _lower_step_hlo(depth: int, batch: int) -> str:
 
 
 def _collect_collectives(hlo: str):
-    """(kind, result_shape_string) for every collective in the HLO."""
+    """(kind, result_type_string) for every collective in the HLO.
+
+    The result type is matched permissively (lazy ``.*?`` up to the op
+    name): compiled HLO decorates types with layout/tiling braces and
+    memory-space suffixes (``f32[16]{0:T(128)S(1)}``) and wraps multi-result
+    ops in tuple parens — a restrictive character class silently skips
+    those lines and turns the audit false-green (it would miss exactly the
+    activation-sized all-gathers it exists to catch)."""
     out = []
     for line in hlo.splitlines():
         m = re.search(
-            r"=\s*([a-z0-9_\[\],\s]*?)\s*"
+            r"=\s*(.*?)\s*"
             r"(all-reduce|all-gather|all-to-all|collective-permute|"
-            r"reduce-scatter)(-start)?\(", line)
+            r"reduce-scatter)(-start|-done)?\(", line)
         if m:
             out.append((m.group(2), m.group(1).strip()))
     return out
+
+
+def test_collect_collectives_sees_decorated_types():
+    """Guard the audit's own eyes: layouts, tilings, tuples and async
+    start/done forms must all be visible."""
+    samples = [
+        ("%all-reduce = f32[16]{0} all-reduce(f32[16]{0} %p)", "all-reduce",
+         16),
+        ("%ag = f32[16,4]{1,0:T(8,128)S(1)} all-gather(f32[4,4] %x)",
+         "all-gather", 64),
+        ("%ar = (f32[8]{0}, f32[2,2]{1,0}) all-reduce-start(...)",
+         "all-reduce", 8),
+        ("%cp = f32[] collective-permute(f32[] %s)", "collective-permute",
+         1),
+    ]
+    for line, kind, first_size in samples:
+        got = _collect_collectives(line)
+        assert got and got[0][0] == kind, (line, got)
+        assert _shape_sizes(got[0][1])[0] == first_size, (line, got)
 
 
 def _shape_sizes(shape_str: str):
@@ -89,10 +115,23 @@ def test_sharded_step_collective_set(depth, batch):
     shape = (8, 3, 128, 128)
     G = Generator(shape, latent_size=16, fmap_base=512, fmap_max=32)
     D = Discriminator(shape, fmap_base=512, fmap_max=32)
-    param_sizes = {int(np.prod(np.shape(x))) for x in
-                   jax.tree_util.tree_leaves(G.init(jax.random.PRNGKey(0)))}
-    param_sizes |= {int(np.prod(np.shape(x))) for x in
-                    jax.tree_util.tree_leaves(D.init(jax.random.PRNGKey(1)))}
+    def sizes(shape):
+        # raw param size, plus the graph-DERIVED weights whose grads are
+        # also all-reduced: the fused pool+fromRGB tiles 1x1 kernels to 2x2
+        # (discriminator fade path) and fused-scale upsample pads 3x3
+        # kernels to 4x4 (generator) — both are conv weights the reverse
+        # pass reduces at derived shape before folding back to the param
+        out = {int(np.prod(shape))}
+        if len(shape) == 4 and tuple(shape[:2]) == (1, 1):
+            out.add(int(np.prod((2, 2) + tuple(shape[2:]))))
+        if len(shape) == 4 and tuple(shape[:2]) == (3, 3):
+            out.add(int(np.prod((4, 4) + tuple(shape[2:]))))
+        return out
+
+    param_sizes = set()
+    for tree in (G.init(jax.random.PRNGKey(0)), D.init(jax.random.PRNGKey(1))):
+        for x in jax.tree_util.tree_leaves(tree):
+            param_sizes |= sizes(np.shape(x))
     allowed = param_sizes | {1}
     for kind, shp in coll:
         for size in _shape_sizes(shp):
