@@ -4,6 +4,7 @@ from pggan_tpu.data.datasets import (
     DefaultImageFolderDataset,
     SoundImageDataset,
     H5Dataset,
+    OldH5Dataset,
     SyntheticDataset,
 )
 from pggan_tpu.data.loader import DataIterator, InfiniteRandomSampler
@@ -14,6 +15,7 @@ __all__ = [
     "DefaultImageFolderDataset",
     "SoundImageDataset",
     "H5Dataset",
+    "OldH5Dataset",
     "SyntheticDataset",
     "DataIterator",
     "InfiniteRandomSampler",

@@ -149,6 +149,13 @@ class H5Dataset(DepthDataset):
         return self._data[-1].shape[0]
 
 
+class OldH5Dataset(H5Dataset):
+    """Drop-in alias for the reference's class name (dataset.py:73) so
+    existing ``--dataset_class OldH5Dataset --OldH5Dataset.h5_path ...``
+    command lines keep working unchanged; the implementation is
+    :class:`H5Dataset`."""
+
+
 class FolderDataset(DepthDataset):
     """Abstract directory-of-files dataset with an optional fully-preloaded
     multi-resolution pyramid (reference dataset.py:119-206).

@@ -77,6 +77,13 @@ def test_train_parser_exposes_reference_flags():
         assert flag in flat, flag
     assert flat["Adam.betas"] == (0.0, 0.99)
     assert flat["DepthManager.minibatch_overrides"] == {6: 14, 7: 6, 8: 3}
+    # the reference's OldH5Dataset name registers its own arg group and
+    # resolves as a --dataset_class value (drop-in migration, MIGRATION.md)
+    assert "OldH5Dataset.h5_path" in flat
+    import pggan_tpu.data.datasets as dataset_module
+    from pggan_tpu.data import H5Dataset, OldH5Dataset
+    assert issubclass(OldH5Dataset, H5Dataset)
+    assert getattr(dataset_module, "OldH5Dataset") is OldH5Dataset
 
 
 def _write_pngs(tmpdir, n=8, size=16):
