@@ -195,6 +195,15 @@ class TrainStepBuilder:
         per-tick means cover every step, not a subsample.
         """
         raw = self._raw_step(depth, batch_size, fade)
+        # scan-unroll knob (PGGAN_GROUP_UNROLL=n, default 1 = rolled): a
+        # rolled scan is an XLA while loop whose carry is the full TrainState
+        # — if the loop can't alias the carry buffers, every iteration pays a
+        # state-sized copy. Unrolling trades that (and the loop's fusion
+        # barrier) for ~n x compile time. Same numerics either way
+        # (tests/test_group_step.py passes under PGGAN_GROUP_UNROLL=8);
+        # the default follows the measured self-time A/B in BASELINE.md.
+        import os
+        unroll = int(os.environ.get("PGGAN_GROUP_UNROLL", "1"))
 
         def gstep(state: TrainState, reals: jax.Array, alphas: jax.Array,
                   lrs_d: jax.Array, lrs_g: jax.Array):
@@ -202,7 +211,8 @@ class TrainStepBuilder:
                 r, a, ld, lg = xs
                 return raw(st, r, a, ld, lg)
 
-            return jax.lax.scan(body, state, (reals, alphas, lrs_d, lrs_g))
+            return jax.lax.scan(body, state, (reals, alphas, lrs_d, lrs_g),
+                                unroll=min(unroll, group))
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
