@@ -118,11 +118,28 @@ def headline_self_time(builder, state, depth, batch, n_steps=5):
 
 def main():
     import jax
+
+    # The tunnel to the shared chip drops occasionally (observed: backend
+    # init UNAVAILABLE for ~an hour). A failed init poisons the process's
+    # backend cache, so retry by re-exec'ing ourselves — the record run
+    # must not be lost to a transient outage.
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        import os
+        tries = int(os.environ.get("PGGAN_BENCH_RETRY", "0"))
+        if tries >= 6:  # init itself can hang minutes before raising —
+            raise       # bound total stall well under any driver timeout
+        print(f"backend init failed ({e}); retry {tries + 1}/6 in 90 s",
+              file=sys.stderr, flush=True)
+        time.sleep(90)
+        os.environ["PGGAN_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     from pggan_tpu.models import Discriminator, Generator
     from pggan_tpu.training.state import init_state, make_optimizer
     from pggan_tpu.training.steps import TrainStepBuilder
 
-    dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
     shape = (1, 3, 1024, 1024)  # paper config
