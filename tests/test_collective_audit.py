@@ -28,7 +28,7 @@ from pggan_tpu.training.state import init_state, make_optimizer
 from pggan_tpu.training.steps import TrainStepBuilder
 
 
-def _lower_step_hlo(depth: int, batch: int) -> str:
+def _lower_step_hlo(depth: int, batch: int, group: int = 0) -> str:
     from jax.sharding import Mesh
 
     shape = (8, 3, 128, 128)
@@ -45,9 +45,16 @@ def _lower_step_hlo(depth: int, batch: int) -> str:
         assert D._pallas_span(depth) == 0
     abstract_state = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state)
+    s = jax.ShapeDtypeStruct((), jnp.float32)
+    if group:  # the Trainer's default grouped-dispatch (scan) program
+        reals = jax.ShapeDtypeStruct(
+            (group,) + b.real_batch_shape(depth, batch), jnp.float32)
+        vec = jax.ShapeDtypeStruct((group,), jnp.float32)
+        gstep = b.group_step_fn(depth, batch, fade=True, group=group)
+        return gstep.lower(abstract_state, reals, vec, vec,
+                           vec).compile().as_text()
     reals = jax.ShapeDtypeStruct(b.real_batch_shape(depth, batch),
                                  jnp.float32)
-    s = jax.ShapeDtypeStruct((), jnp.float32)
     step = b.step_fn(depth, batch, fade=True)
     return step.lower(abstract_state, reals, s, s, s).compile().as_text()
 
@@ -97,9 +104,14 @@ def _shape_sizes(shape_str: str):
             for dims in re.findall(r"\[([0-9,]*)\]", shape_str)]
 
 
-@pytest.mark.parametrize("depth,batch", [(4, 8), (5, 8)])
-def test_sharded_step_collective_set(depth, batch):
-    hlo = _lower_step_hlo(depth, batch)
+@pytest.mark.parametrize("depth,batch,group", [
+    (4, 8, 0),   # pure-XLA graph family, per-step program
+    (5, 8, 0),   # Pallas-span graph family, per-step program
+    (5, 8, 2),   # Pallas-span family through the grouped-dispatch scan —
+                 # the scan wrapper must not change the collective set
+])
+def test_sharded_step_collective_set(depth, batch, group):
+    hlo = _lower_step_hlo(depth, batch, group)
     coll = _collect_collectives(hlo)
     kinds = {k for k, _ in coll}
     # gradient sync must exist...
