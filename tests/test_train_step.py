@@ -167,3 +167,20 @@ def test_trainer_accepts_uint8_batches(tmp_path):
     trainer.run(total_kimg=0.1)
     assert trainer.cur_nimg >= 100
     it.close()
+
+
+def test_fit_minibatch_to_mesh_policy():
+    """Pod batch policy (parallel/mesh.py): round each reference global
+    batch UP to a mesh multiple, never down, and report what changed."""
+    from jax.sharding import Mesh
+    from pggan_tpu.parallel.mesh import fit_minibatch_to_mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    d, o, ch = fit_minibatch_to_mesh(16, {6: 14, 7: 6, 8: 3}, mesh)
+    assert d == 16
+    assert o == {6: 16, 7: 8, 8: 8}
+    assert ch == {6: (14, 16), 7: (6, 8), 8: (3, 8)}
+    assert all(new >= old for old, new in ch.values())  # never below ref
+
+    d2, o2, ch2 = fit_minibatch_to_mesh(8, {1: 8}, mesh)  # already divisible
+    assert (d2, o2, ch2) == (8, {1: 8}, {})
