@@ -88,9 +88,20 @@ def main():
         lambda st: gs_unrolled(st, realsg, ones, ones * 1e-4, ones * 1e-4),
         n_dispatch=3, steps_per_dispatch=group)
 
-    print(f"\nscan carry cost (rolled - lone):    {rolled - lone:+.2f} ms/step")
+    # re-measure the lone step LAST: if the chip clock drifted during the
+    # run (co-tenant DVFS, CLAUDE.md), lone2 != lone and the A/B deltas
+    # must be read against that drift band, not as kernel effects
+    lone2 = measure("lone step (re-measure)",
+                    lambda st: step(st, reals1, s, s, s),
+                    n_dispatch=3 * group, steps_per_dispatch=1)
+
+    drift = abs(lone2 - lone)
+    print(f"\nintra-session clock drift band:      {drift:.2f} ms/step")
+    print(f"scan carry cost (rolled - lone):     {rolled - lone:+.2f} ms/step")
     print(f"unroll recovers (rolled - unrolled): {rolled - unrolled:+.2f} "
           f"ms/step")
+    print("verdict: effects inside the drift band are NOT attributable "
+          "to the scan/unroll.")
 
 
 if __name__ == "__main__":
