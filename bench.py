@@ -139,7 +139,13 @@ def main():
     from pggan_tpu.models import Discriminator, Generator
     from pggan_tpu.training.state import init_state, make_optimizer
     from pggan_tpu.training.steps import TrainStepBuilder
+    from pggan_tpu.utils.misc import enable_persistent_compilation_cache
 
+    # persistent XLA cache: the 9-depth sweep compiles ~10 programs, minutes
+    # each through the remote tunnel at the tail depths — cache hits cut a
+    # repeat bench's wall time sharply and never touch measured step time
+    # (timing rounds run strictly after warmup)
+    enable_persistent_compilation_cache()
     print(f"device: {dev}", file=sys.stderr)
 
     shape = (1, 3, 1024, 1024)  # paper config

@@ -26,7 +26,10 @@ from pggan_tpu.utils.config import (
     get_all_classes,
     get_structured_params,
 )
-from pggan_tpu.utils.misc import random_latents
+from pggan_tpu.utils.misc import (
+    enable_persistent_compilation_cache,
+    random_latents,
+)
 
 default_params = {
     "generator_path": "",
@@ -39,6 +42,7 @@ default_params = {
 
 def output_samples(generator_path, num_samples, postprocessors, description,
                    random_seed=0):
+    enable_persistent_compilation_cache()
     G, params, meta = load_snapshot(generator_path)
     latent_size = G.latent_size
     print("Sampling noise...")

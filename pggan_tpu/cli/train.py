@@ -58,6 +58,7 @@ from pggan_tpu.utils.config import (
 )
 from pggan_tpu.utils.misc import (
     create_result_subdir,
+    enable_persistent_compilation_cache,
     load_pkl,
     params_to_str,
     random_latents,
@@ -179,6 +180,7 @@ def make_experiment(params):
 
 def main(params):
     initialize_distributed()
+    enable_persistent_compilation_cache()
     if params.get("debug_nans"):
         jax.config.update("jax_debug_nans", True)
     np.random.seed(params["random_seed"])

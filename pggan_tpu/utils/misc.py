@@ -90,3 +90,41 @@ def params_to_str(params: dict) -> str:
         lines.append(f"\t'{k}': {v!r},")
     lines.append("}")
     return "\n".join(lines)
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache for the runtime entry
+    points (train/generate/bench).
+
+    The progressive schedule compiles one step program per (depth, batch,
+    fade) — up to ~20 programs over a full run — and through the attached
+    remote-TPU tunnel the 1024px step's first compile takes minutes. The
+    persistent cache keys on the optimized HLO + compile options + backend
+    version, so re-runs (resume, bench, repeated experiments) skip straight
+    to execution; stale hits after code changes are impossible by
+    construction.
+
+    ``PGGAN_XLA_CACHE`` overrides: ``0``/``off`` disables, any other value
+    is used as the cache directory. Default: ``~/.cache/pggan_tpu/xla``.
+    Backends that cannot serialize executables make JAX skip writes (with a
+    log line), so enabling this is always safe. Returns the directory in
+    use, or None when disabled/unsupported.
+    """
+    env = os.environ.get("PGGAN_XLA_CACHE", "")
+    if env.lower() in ("0", "off", "false"):
+        return None
+    path = env or path or os.path.join(
+        os.path.expanduser("~"), ".cache", "pggan_tpu", "xla")
+    try:
+        import jax
+        configured = jax.config.jax_compilation_cache_dir
+        if configured:  # explicit config wins (e.g. the test suite's dir)
+            return configured
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # only persist compiles that are actually worth the disk round-trip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return path
+    except Exception:  # old jax without the knobs, read-only FS, ...
+        return None

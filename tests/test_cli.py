@@ -288,3 +288,35 @@ def test_cli_non_progressive(tmp_path):
     log = open(os.path.join(run_dir, "log.txt")).read()
     assert "tick" in log
     assert "depth" not in log.splitlines()[-1]  # no progressive stats logged
+
+
+def test_persistent_cache_knob(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache: env opt-out, env path override,
+    and the configured directory actually receiving jax's cache setting."""
+    import jax
+
+    from pggan_tpu.utils.misc import enable_persistent_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("PGGAN_XLA_CACHE", "0")
+        assert enable_persistent_compilation_cache(str(tmp_path)) is None
+
+        # an already-configured dir (conftest's tests/.jax_cache) wins: the
+        # runtime helper must never hijack an explicit cache location
+        monkeypatch.setenv("PGGAN_XLA_CACHE", str(tmp_path / "hijack"))
+        assert enable_persistent_compilation_cache() == prev
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        cache = tmp_path / "xla"
+        monkeypatch.setenv("PGGAN_XLA_CACHE", str(cache))
+        assert enable_persistent_compilation_cache() == str(cache)
+        assert cache.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.delenv("PGGAN_XLA_CACHE")
+        arg = tmp_path / "explicit"
+        assert enable_persistent_compilation_cache(str(arg)) == str(arg)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
