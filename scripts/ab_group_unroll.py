@@ -27,6 +27,8 @@ def main():
     group = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     import jax
+    from pggan_tpu.utils.misc import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # remote compiles are minutes; cache across runs
     from pggan_tpu.models import Discriminator, Generator
     from pggan_tpu.training.state import init_state, make_optimizer
     from pggan_tpu.training.steps import TrainStepBuilder

@@ -26,6 +26,8 @@ import numpy as np
 
 
 def main():
+    from pggan_tpu.utils.misc import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # remote compiles are minutes; cache across runs
     pallas = "--no-pallas" not in sys.argv
     fuse = "--no-fuse" not in sys.argv
     dtype = "bfloat16" if "--bf16" in sys.argv else "float32"

@@ -58,6 +58,8 @@ def envelope_shapes(fast: bool):
 
 
 def main():
+    from pggan_tpu.utils.misc import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # remote compiles are minutes; cache across runs
     fast = "--fast" in sys.argv
     import jax
     import jax.numpy as jnp
