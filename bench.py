@@ -152,8 +152,12 @@ def main():
     G = Generator(shape)
     D = Discriminator(shape)
     opt = make_optimizer()
-    keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    state = init_state(G.init(keys[0]), D.init(keys[1]), opt, keys[2])
+
+    def fresh_state():
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        return init_state(G.init(keys[0]), D.init(keys[1]), opt, keys[2])
+
+    state = fresh_state()
     builder = TrainStepBuilder(G, D, opt)
 
     only = [int(a) for a in sys.argv[1:] if a.isdigit()]
@@ -192,6 +196,10 @@ def main():
             except Exception as e:
                 print(f"depth {depth} attempt {attempt}: {e}",
                       file=sys.stderr)
+                # every step program donates the state buffers: a dispatch
+                # that died mid-round leaves `state` pointing at deleted
+                # arrays, so the retry must start from a rebuilt state
+                state = fresh_state()
                 if attempt == 1 and depth == 5:
                     raise  # the headline metric must not be silently absent
         if depth >= 5 and 5 in table and not only:
@@ -200,6 +208,7 @@ def main():
             except Exception as e:
                 print(f"d5 resample after depth {depth}: {e}",
                       file=sys.stderr)
+                state = fresh_state()  # donated buffers (see above)
 
     if 5 not in table:
         raise SystemExit("headline depth-5 measurement missing")
@@ -208,6 +217,7 @@ def main():
             state = sample_d5(iters=2, rounds=6)
         except Exception as e:
             print(f"d5 final resample: {e}", file=sys.stderr)
+            state = fresh_state()  # donated buffers (see above)
     dt5 = float(np.min(d5_times))
     kimg_per_hour = MINIBATCH[5] / dt5 * 3.6
     table[5] = (128, MINIBATCH[5], dt5, kimg_per_hour)

@@ -134,11 +134,16 @@ def _resume_kimg(resume_network: str) -> int:
 
 
 def find_latest_snapshot(result_root: str) -> str:
-    """Newest ``network-snapshot-generator-*.dat`` under the results root
-    (newest mtime, kimg as tie-break), returned as a ``resume_network``
-    pattern relative to the root — ``--resume_network latest`` (SURVEY §5
-    "auto-resume-latest"; the reference requires hand-typing the pattern,
-    train.py:60-64)."""
+    """Newest ``network-snapshot-generator-*.dat`` under the results root,
+    returned as a ``resume_network`` pattern relative to the root —
+    ``--resume_network latest`` (SURVEY §5 "auto-resume-latest"; the
+    reference requires hand-typing the pattern, train.py:60-64).
+
+    Selection rule: the run DIRECTORY with the newest snapshot mtime wins
+    (continue the most recent experiment, even if an older one trained to a
+    higher kimg), then the highest kimg INSIDE it (kimg is monotone within a
+    run, so a copied/rsynced tree with scrambled mtimes still resumes the
+    true latest snapshot, not whichever file happened to be copied last)."""
     import glob
     cands = []
     for p in glob.glob(os.path.join(result_root, "**",
@@ -150,11 +155,15 @@ def find_latest_snapshot(result_root: str) -> str:
         raise SystemExit(
             f"--resume_network latest: no snapshot pairs under {result_root}")
 
-    def key(p):
+    def kimg(p):
         m = re.search(r"-(\d+)\.dat$", p)
-        return (os.path.getmtime(p), int(m.group(1)) if m else -1)
+        return int(m.group(1)) if m else -1
 
-    rel = os.path.relpath(max(cands, key=key), result_root)
+    by_dir = {}
+    for p in cands:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    run_dir = max(by_dir, key=lambda d: max(map(os.path.getmtime, by_dir[d])))
+    rel = os.path.relpath(max(by_dir[run_dir], key=kimg), result_root)
     d, b = os.path.split(rel)
     return os.path.join(d, b.replace("network-snapshot-generator-",
                                      "network-snapshot-{}-"))

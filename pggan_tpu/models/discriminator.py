@@ -14,7 +14,6 @@ batch axis (GSPMD inserts the cross-replica collective).
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass, field
 
 import jax
@@ -48,19 +47,10 @@ class Discriminator:
     pallas_tail: bool = True  # spatial-lanes Pallas convs for the high-res tail
     dtype: object = field(default=jnp.float32, repr=False)
 
-    # Pallas-head envelope (plain class attributes so they stay out of the
-    # constructor/CLI surface; tests/benches tune them, PGGAN_PALLAS_MAX_CIN
-    # / _HI override): a stage runs NHCW when its resolution is lane-aligned
-    # (>=128, %128) and its input channel count is small enough that NHWC
-    # would waste lanes. The C boundary is profile-placed per round and
-    # RESOLUTION-TIERED (BASELINE.md round 3): C=64 stages lose at 128px
-    # (50.5 vs 40.8 ms at depth 5 — the stage is compute-bound and W=128 is
-    # a single lane-tile) but win at >=256px (depth 6: 81.0 vs 97.6 ms —
-    # there the XLA convs run at 123-156 GiB/s, 5x off streaming BW).
-    _pallas_min_res = 128
-    _pallas_max_cin = int(os.environ.get("PGGAN_PALLAS_MAX_CIN", "32"))
-    _pallas_hi_res = 256
-    _pallas_max_cin_hi = int(os.environ.get("PGGAN_PALLAS_MAX_CIN_HI", "64"))
+    # Pallas-head envelope: which stages run NHCW is single-sourced in
+    # ops/spatial.py (stage_in_envelope; PGGAN_PALLAS_MAX_CIN / _HI tune the
+    # profile-placed channel boundary) so the G tail and D head can never
+    # diverge when the boundary is re-tuned.
     # set by TrainStepBuilder when training over a device mesh: the NHCW head
     # is wrapped in shard_map over this axis (Pallas kernels are opaque to
     # GSPMD — without it the partitioner would all-gather around them)
@@ -133,20 +123,10 @@ class Discriminator:
     # -- spatial-lanes (NHCW/Pallas) head ------------------------------------
     def _stage_ok(self, res: int, ch_in: int, ch_out: int,
                   entry: bool = True) -> bool:
-        # channel counts sit in the tiled sublane dim of the NHCW layout:
-        # compiled Mosaic needs them 8-aligned (ops/pallas_conv.py
-        # supported). C=64 limits are position-dependent (profiled,
-        # BASELINE.md round 3): as the ENTRY stage at 128px the XLA path
-        # wins (depth-5 step 40.8 vs 50.5 ms — the NHWC->NHCW switch buys
-        # nothing when the stage is compute-bound), but as a span
-        # CONTINUATION the input is already NHCW and the Pallas stage wins
-        # at any lane-aligned resolution (depth-6 step 81.0 vs 86.2 ms).
-        lim_entry = (self._pallas_max_cin_hi if res >= self._pallas_hi_res
-                     else self._pallas_max_cin)
-        lim = lim_entry if entry else self._pallas_max_cin_hi
-        return (res >= self._pallas_min_res and res % 128 == 0
-                and ch_in <= lim
-                and ch_in % 8 == 0 and ch_out % 8 == 0)
+        # the envelope law (incl. the entry-vs-continuation C=64 tiering)
+        # lives in ops/spatial.py, shared with the Generator tail
+        from pggan_tpu.ops.spatial import stage_in_envelope
+        return stage_in_envelope(res, ch_in, ch_out, entry=entry)
 
     def _pallas_span(self, depth: int) -> int:
         """How many leading stages (entry block + following DBlocks) run on

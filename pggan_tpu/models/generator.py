@@ -21,7 +21,6 @@ Differences from the reference, by design (TPU-first):
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass, field
 
 import jax
@@ -71,18 +70,9 @@ class Generator:
     pallas_tail: bool = True  # spatial-lanes Pallas convs for the high-res tail
     dtype: object = field(default=jnp.float32, repr=False)
 
-    # Pallas-tail envelope (class attributes — out of the constructor/CLI
-    # surface; tests/benches tune them, PGGAN_PALLAS_MAX_CIN / _HI
-    # override). A growth stage joins the NHCW tail when its conv resolution
-    # 2**(i+3) is lane-aligned (>=128, %128) and its input channel count
-    # nf(i+1) is small enough that NHWC wastes lanes. The C boundary is
-    # profile-placed per round and RESOLUTION-TIERED (BASELINE.md round 3):
-    # C=64 stages lose at 128px but win at >=256px, where round 3's fused
-    # epilogues + streaming resample kernels flipped round 2's verdict.
-    _pallas_min_res = 128
-    _pallas_max_cin = int(os.environ.get("PGGAN_PALLAS_MAX_CIN", "32"))
-    _pallas_hi_res = 256
-    _pallas_max_cin_hi = int(os.environ.get("PGGAN_PALLAS_MAX_CIN_HI", "64"))
+    # Pallas-tail envelope: which growth stages join the NHCW tail is
+    # single-sourced in ops/spatial.py (stage_in_envelope;
+    # PGGAN_PALLAS_MAX_CIN / _HI tune the profile-placed channel boundary).
     # set by TrainStepBuilder when training over a device mesh (see
     # ops/spatial.py shard_map_batch)
     mesh = None
@@ -167,14 +157,14 @@ class Generator:
         if not self.pallas_tail or self._compute is not None or depth < 1:
             return None
         def ok(i):
-            res = 2 ** (i + 3)
-            # stage i convolves nf(i+1) -> nf(i+2) channels; both sit in
-            # the NHCW sublane dim and must be 8-aligned for Mosaic
-            lim = (self._pallas_max_cin_hi if res >= self._pallas_hi_res
-                   else self._pallas_max_cin)
-            return (res >= self._pallas_min_res and res % 128 == 0
-                    and self.nf(i + 1) <= lim
-                    and self.nf(i + 1) % 8 == 0 and self.nf(i + 2) % 8 == 0)
+            # stage i convolves nf(i+1) -> nf(i+2) channels at 2**(i+3) px;
+            # the envelope law is single-sourced in ops/spatial.py. Every
+            # tail stage uses the entry tier: G's channels shrink as its
+            # resolution grows, so the continuation relaxation D needs
+            # (entry=False) can never admit an extra G stage.
+            from pggan_tpu.ops.spatial import stage_in_envelope
+            return stage_in_envelope(2 ** (i + 3), self.nf(i + 1),
+                                     self.nf(i + 2))
 
         start = None
         for i in reversed(range(depth)):  # every stage i..depth-1 must pass

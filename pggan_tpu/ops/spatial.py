@@ -29,6 +29,38 @@ from pggan_tpu.ops.resample import avg_pool_2x as _avg_pool_2x
 from pggan_tpu.ops.resample import upsample_2x as _upsample_2x
 
 
+# -- spatial-lanes envelope ---------------------------------------------------
+# Which stages run NHCW at all. Single-sourced here so the Generator tail and
+# Discriminator head can never diverge when the boundary is re-tuned (it moves
+# with each round's profiles). Module-level so PGGAN_PALLAS_MAX_CIN / _HI are
+# read once; tests/benches may also assign spatial.PALLAS_MAX_CIN directly.
+PALLAS_MIN_RES = 128
+PALLAS_MAX_CIN = int(os.environ.get("PGGAN_PALLAS_MAX_CIN", "32"))
+PALLAS_HI_RES = 256
+PALLAS_MAX_CIN_HI = int(os.environ.get("PGGAN_PALLAS_MAX_CIN_HI", "64"))
+
+
+def stage_in_envelope(res: int, ch_in: int, ch_out: int,
+                      entry: bool = True) -> bool:
+    """Does a conv stage at ``res`` px with ``ch_in -> ch_out`` channels
+    belong on the NHCW spatial-lanes path?
+
+    Requirements: W lane-aligned (>= 128, % 128 — Mosaic lane width) and
+    both channel counts 8-aligned (they sit in the tiled sublane dim,
+    ops/pallas_conv.py). The C boundary is profile-placed per round and
+    RESOLUTION-TIERED (BASELINE.md round 3): C=64 stages lose at 128px
+    (depth-5 step 40.8 XLA vs 50.5 ms — compute-bound, W=128 is a single
+    lane-tile, and the NHWC->NHCW entry switch buys nothing) but win at
+    >= 256px (depth-6 step 81.0 vs 97.6 — the XLA convs they replace ran at
+    123-156 GiB/s). ``entry=False`` marks a span CONTINUATION whose input
+    is already NHCW: there C<=64 wins at any lane-aligned resolution
+    (depth-6 81.0 vs 86.2 ms when the 128px continuation is included)."""
+    lim_entry = PALLAS_MAX_CIN_HI if res >= PALLAS_HI_RES else PALLAS_MAX_CIN
+    lim = lim_entry if entry else PALLAS_MAX_CIN_HI
+    return (res >= PALLAS_MIN_RES and res % 128 == 0 and ch_in <= lim
+            and ch_in % 8 == 0 and ch_out % 8 == 0)
+
+
 def _act(y: jax.Array, act: str | None) -> jax.Array:
     if act == "lrelu":
         return leaky_relu(y, 0.2)

@@ -145,23 +145,26 @@ class Trainer:
 
     # -- grouped dispatch ----------------------------------------------------
     def _plan_group(self):
-        """How many steps the next dispatch may fuse (steps.py
-        group_step_fn). >1 only when provably exact: either a
-        schedule-stable window (``schedule_horizon`` covers the whole
-        group) or a window fully inside one fade (``fade_horizon`` — alpha
-        then advances per step through the grouped program's alpha vector,
-        exactly as the per-step path would have set it); never crossing a
-        tick or run boundary any further than a single step would, and
-        always exactly ``steps_per_dispatch`` steps — smaller groups near
-        boundaries fall back to per-step dispatch so only TWO grouped
-        programs (stable + fade) are ever compiled per (depth, batch)
-        instead of one per residual length.
+        """Plan the next dispatch: ``(group, alphas)`` — how many steps it
+        may fuse (steps.py group_step_fn) and, for a grouped fade window,
+        the validated per-step alpha vector (None otherwise). group > 1
+        only when provably exact: either a schedule-stable window
+        (``schedule_horizon`` covers the whole group) or a window fully
+        inside one fade (``fade_horizon`` — alpha then advances per step
+        through the grouped program's alpha vector, exactly as the per-step
+        path would have set it); never crossing a tick or run boundary any
+        further than a single step would, and always exactly
+        ``steps_per_dispatch`` steps — smaller groups near boundaries fall
+        back to per-step dispatch so only TWO grouped programs (stable +
+        fade) are ever compiled per (depth, batch) instead of one per
+        residual length.
         """
         spd = self.steps_per_dispatch
         if (spd <= 1 or self.schedule_horizon is None
                 or self.minibatch_size is None):
-            return 1
+            return 1, None
         per = self.minibatch_size * self.D_training_repeats
+        alphas = None
         if self.alpha < 1.0:
             # fade window: alpha advances per step INSIDE the group via the
             # per-step alpha vector; grouping is sound while the whole
@@ -169,29 +172,33 @@ class Trainer:
             # nimg = start + (spd-1)*per, must still be < 1.0 so every step
             # uses the fade graph the per-step path would have used
             if self.fade_horizon is None or self.alpha_lookahead is None:
-                return 1
+                return 1, None
             if self.fade_horizon(self.cur_nimg) <= (spd - 1) * per:
-                return 1
-            # Defensive cross-check of every step's law point: in the warned
+                return 1, None
+            # Cross-check of every step's law point: in the warned
             # lod_transition > lod_training regime the divmod schedule can
             # change depth INSIDE what fade_nimg_horizon promised was one
             # fade (DepthManager prints the warning at registration); the
             # per-step path runs that degenerate schedule, so fall back to
             # it rather than dispatch a grouped window that would desync.
+            # Step k consumes the alpha the DepthManager would have set
+            # after step k-1, i.e. the law at nimg = start + k*per —
+            # exactly the per-step path's sequencing.
             pairs = [self.alpha_lookahead(self.cur_nimg + k * per)
                      for k in range(spd)]
             if any(d != self.depth or a >= 1.0 for d, a in pairs):
-                return 1
+                return 1, None
+            alphas = np.asarray([a for _, a in pairs], np.float32)
         elif self.schedule_horizon(self.cur_nimg) < spd * per:
-            return 1
+            return 1, None
         remaining = self.tick_start_nimg + self.tick_duration_nimg - self.cur_nimg
         if self.total_nimg is not None:
             remaining = min(remaining, self.total_nimg - self.cur_nimg)
         if -(-remaining // per) < spd:  # ceil: steps fitting before boundary
-            return 1
-        return spd
+            return 1, None
+        return spd, alphas
 
-    def _train_grouped(self, group):
+    def _train_grouped(self, group, alphas):
         """``group`` iterations in ONE device dispatch. Exact per-step
         semantics: one real batch per step, the LR ramp advances through the
         per-step lr vectors (``lr_lookahead``), metrics return stacked
@@ -200,6 +207,10 @@ class Trainer:
         iteration count — the schedule plugins are nimg-pure so this is
         equivalent, and loss monitors consume the stacked vectors.
 
+        ``alphas`` is the per-step alpha vector ``_plan_group`` validated
+        for a fade window (it drives the model blend AND the uint8 device
+        data blend), or None in a stable window (constant 1.0).
+
         Fade windows: model alphas are exact per step (vector); the DATA
         fade blend is exact per step on the uint8 device-prep path, while
         host-prepped float batches carry the loader's prefetch-time alpha —
@@ -207,23 +218,8 @@ class Trainer:
         group)*per images, a <0.2% alpha offset on the reference schedule
         (and strictly tighter than the reference's forked workers, which
         froze alpha for their whole lifetime — dataset.py:109-113)."""
-        # Per-step alphas first (they drive the uint8 device blend):
-        # constant 1.0 in stable windows; inside a fade, step k consumes
-        # the alpha the DepthManager would have set after step k-1, i.e.
-        # the law at nimg = start + k*per — exactly the per-step path's
-        # sequencing (the plugin recomputes alpha from the post-step nimg
-        # before the next step runs).
-        per_planned = self.minibatch_size * self.D_training_repeats
         start_nimg = self.cur_nimg
-        if self.alpha < 1.0:
-            pairs = [self.alpha_lookahead(start_nimg + k * per_planned)
-                     for k in range(group)]
-            if any(d != self.depth or a >= 1.0 for d, a in pairs):
-                raise RuntimeError(  # _plan_group pre-checks this law
-                    f"grouped fade window left its stage: {pairs} from "
-                    f"nimg {start_nimg} at depth {self.depth}")
-            alphas = np.asarray([a for _, a in pairs], np.float32)
-        else:
+        if alphas is None:
             alphas = np.full((group,), self.alpha, np.float32)
 
         reals, batch = self._fetch_reals(group, alphas)
@@ -296,9 +292,9 @@ class Trainer:
 
     # -- hot loop (reference trainer.py:85-115, fused) ----------------------
     def train(self):
-        group = self._plan_group()
+        group, alphas = self._plan_group()
         if group > 1:
-            self._train_grouped(group)
+            self._train_grouped(group, alphas)
             return
         reals, batch = self._fetch_reals(1, np.float32(self.alpha))
         self.cur_nimg += batch * self.D_training_repeats

@@ -22,8 +22,16 @@ def capture_hlo_stats(run_fn, out_dir: str | None = None) -> list[dict]:
     (label -> value dicts, incl. "Total self time (us)")."""
     import jax
 
-    out_dir = out_dir or tempfile.mkdtemp(prefix="pggan_prof_")
-    jax.profiler.start_trace(out_dir)
+    # each capture gets a FRESH directory even under an explicit out_dir:
+    # the glob below must only ever see this run's trace — summing a stale
+    # .xplane.pb from an earlier capture in the same directory would inflate
+    # the self-time instrument of record
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        trace_dir = tempfile.mkdtemp(prefix="capture_", dir=out_dir)
+    else:
+        trace_dir = tempfile.mkdtemp(prefix="pggan_prof_")
+    jax.profiler.start_trace(trace_dir)
     try:
         run_fn()
     finally:
@@ -31,7 +39,7 @@ def capture_hlo_stats(run_fn, out_dir: str | None = None) -> list[dict]:
         # run_fn failure (e.g. a tunnel drop mid-probe) would poison every
         # later capture with "trace already being taken"
         jax.profiler.stop_trace()
-    paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     from xprof.convert import raw_to_tool_data as r
     data, _ = r.xspace_to_tool_data(paths, "hlo_stats", {})

@@ -47,7 +47,8 @@ def main():
         group, 1, batch, 4 * 2 ** depth, 4 * 2 ** depth, 3
         ).astype(np.float32))
     ones = jax.device_put(np.ones((group,), np.float32))
-    s = np.float32(1.0)
+    s = np.float32(1.0)     # alpha (stable phase)
+    lr = np.float32(1e-4)   # lr=1.0 would blow the threaded state to NaN
 
     def measure(tag, fn, n_dispatch, steps_per_dispatch):
         # state buffers are DONATED by every step program: always rebind
@@ -69,7 +70,7 @@ def main():
 
     # 1. lone step
     step = TrainStepBuilder(G, D, opt).step_fn(depth, batch, fade=False)
-    lone = measure("lone step", lambda st: step(st, reals1, s, s, s),
+    lone = measure("lone step", lambda st: step(st, reals1, s, lr, lr),
                    n_dispatch=3 * group, steps_per_dispatch=1)
 
     # 2. grouped rolled (fresh builder; env decides unroll at build time)
@@ -94,7 +95,7 @@ def main():
     # run (co-tenant DVFS, CLAUDE.md), lone2 != lone and the A/B deltas
     # must be read against that drift band, not as kernel effects
     lone2 = measure("lone step (re-measure)",
-                    lambda st: step(st, reals1, s, s, s),
+                    lambda st: step(st, reals1, s, lr, lr),
                     n_dispatch=3 * group, steps_per_dispatch=1)
 
     drift = abs(lone2 - lone)

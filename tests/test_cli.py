@@ -198,12 +198,14 @@ def test_cli_resume(cli_run):
 
 
 def test_find_latest_snapshot_unit(tmp_path):
-    """Selection rule: newest mtime wins, kimg breaks ties, and generator
-    files without a discriminator pair are skipped."""
+    """Selection rule: the run dir with the newest snapshot mtime wins, then
+    the highest kimg inside it; generator files without a discriminator pair
+    are skipped."""
     from pggan_tpu.cli.train import find_latest_snapshot
     root = str(tmp_path)
     import time
-    for sub, kimgs in (("000-a", [0, 1]), ("001-b", [2])):
+    # 000-a trained FURTHER (kimg 5) but is the older experiment
+    for sub, kimgs in (("000-a", [0, 5]), ("001-b", [1, 2])):
         os.makedirs(os.path.join(root, sub))
         for kimg in kimgs:
             for net in ("generator", "discriminator"):
@@ -218,6 +220,11 @@ def test_find_latest_snapshot_unit(tmp_path):
             os.path.join(root, "**", "*.dat"), recursive=True))):
         os.utime(p, (now + i, now + i))
     os.utime(orphan, (now + 100, now + 100))
+    # scrambled mtimes INSIDE the newest dir (rsync/cp -r): the kimg-1 file
+    # carries the newest mtime but kimg 2 must still win within 001-b
+    os.utime(os.path.join(root, "001-b",
+                          "network-snapshot-generator-000001.dat"),
+             (now + 50, now + 50))
     pat = find_latest_snapshot(root)
     assert pat == os.path.join("001-b", "network-snapshot-{}-000002.dat")
 

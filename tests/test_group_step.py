@@ -166,40 +166,51 @@ def _bare_trainer(**kw):
 def test_plan_group_gating():
     t = _bare_trainer(steps_per_dispatch=4)
     t.minibatch_size = 8
+
+    def plan():
+        group, alphas = t._plan_group()
+        # the plan's alpha vector contract: a validated per-step vector for
+        # grouped fade windows, None otherwise
+        if group > 1 and t.alpha < 1.0:
+            assert alphas is not None and alphas.shape == (group,)
+        else:
+            assert alphas is None
+        return group
+
     # no horizon hook installed -> grouping stays off
-    assert t._plan_group() == 1
+    assert plan() == 1
     t.schedule_horizon = lambda nimg: math.inf
-    assert t._plan_group() == 4
+    assert plan() == 4
     # fade: groups only when the fade hooks are installed AND the whole
     # window stays strictly inside the fade (last step's alpha < 1 at
     # nimg = start + (spd-1)*per = 24 here)
     t.alpha = 0.5
-    assert t._plan_group() == 1  # no fade hooks -> per-step
+    assert plan() == 1  # no fade hooks -> per-step
     t.alpha_lookahead = lambda nimg: (0, 0.5)
     t.fade_horizon = lambda nimg: 3 * 8  # == (spd-1)*per: last step hits 1.0
-    assert t._plan_group() == 1
+    assert plan() == 1
     t.fade_horizon = lambda nimg: 3 * 8 + 1
-    assert t._plan_group() == 4
+    assert plan() == 4
     t.alpha = 1.0
     # horizon shorter than the full group window -> per-step
     t.schedule_horizon = lambda nimg: 4 * 8 - 1
-    assert t._plan_group() == 1
+    assert plan() == 1
     t.schedule_horizon = lambda nimg: 4 * 8
-    assert t._plan_group() == 4
+    assert plan() == 4
     # tick boundary: fewer than 4 steps remaining -> per-step (a smaller
     # group would compile a fresh program per residual length)
     t.schedule_horizon = lambda nimg: math.inf
     t.tick_duration_nimg = 3 * 8
-    assert t._plan_group() == 1
+    assert plan() == 1
     t.tick_duration_nimg = 4 * 8
-    assert t._plan_group() == 4
+    assert plan() == 4
     # run-end boundary
     t.total_nimg = 2 * 8
-    assert t._plan_group() == 1
+    assert plan() == 1
     t.total_nimg = None
     # spd=1 disables
     t.steps_per_dispatch = 1
-    assert t._plan_group() == 1
+    assert plan() == 1
 
 
 # -- trainer-level end-to-end equivalence -----------------------------------
