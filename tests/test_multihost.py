@@ -54,7 +54,7 @@ trainer.depth, trainer.lr_d, trainer.lr_g = 1, 1e-3, 1e-3
 for _ in range(3):
     trainer.train()
 leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.g_params))
-checksum = float(sum(np.float64(np.abs(l)).sum() for l in leaves))
+checksum = float(sum(np.abs(l).astype(np.float64).sum() for l in leaves))
 print(f"RESULT pid={pid} nimg={trainer.cur_nimg} checksum={checksum:.8f}",
       flush=True)
 """
@@ -111,6 +111,6 @@ def test_two_process_dp_matches_single_process(tmp_path):
     for _ in range(3):
         trainer.train()
     leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.g_params))
-    checksum = float(sum(np.float64(np.abs(l)).sum() for l in leaves))
+    checksum = float(sum(np.abs(l).astype(np.float64).sum() for l in leaves))
     np.testing.assert_allclose(checksum, float(results[0]["checksum"]),
                                rtol=1e-6)
