@@ -135,6 +135,39 @@ def test_group_step_matches_per_step(tiny):
         jax.device_get(gstate.g_params), ref_params)
 
 
+def test_group_step_unrolled_matches_rolled(tiny, monkeypatch):
+    """PGGAN_GROUP_UNROLL (steps.py) trades the rolled scan's carry copies
+    for compile time; numerics must be identical up to fp32 reassociation
+    noise. Pins the claim the knob's comment makes, so flipping the default
+    after a TPU A/B (BASELINE.md) can't change trajectories."""
+    G, D, opt, state0 = tiny
+    depth, batch, group = 1, 4, 3
+    rng = np.random.RandomState(1)
+    builder = TrainStepBuilder(G, D, opt)
+    reals = rng.randn(
+        group, *builder.real_batch_shape(depth, batch)).astype(np.float32)
+    alphas = np.full((group,), 1.0, np.float32)
+    lrs = np.full((group,), 1e-3, np.float32)
+
+    outs = {}
+    for unroll in ("1", "8"):  # 8 > group: min() clamps to a full unroll
+        monkeypatch.setenv("PGGAN_GROUP_UNROLL", unroll)
+        gstep = TrainStepBuilder(G, D, opt).group_step_fn(
+            depth, batch, False, group)
+        st, m = gstep(jax.tree_util.tree_map(np.copy, state0),
+                      reals, alphas, lrs, lrs)
+        outs[unroll] = (jax.device_get(st.g_params), jax.device_get(m))
+
+    (p1, m1), (p8, m8) = outs["1"], outs["8"]
+    for key in ("G_loss", "D_loss", "D_real", "D_fake"):
+        np.testing.assert_allclose(m8[key], m1[key], rtol=2e-5, atol=2e-6,
+                                   err_msg=key)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b,
+                                                rtol=2e-4, atol=2e-5),
+        p8, p1)
+
+
 def test_prep_vector_alpha_matches_scalar(tiny):
     """Device-side input prep with a per-step alpha VECTOR (grouped fade
     dispatch) must equal per-step scalar prep — the vector broadcasts over
