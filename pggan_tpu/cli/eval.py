@@ -1,0 +1,144 @@
+"""Quality evaluation entry point: Sliced Wasserstein Distance between a
+generator snapshot's samples and the training distribution.
+
+The reference framework ships no evaluation metric; this CLI adds the
+progressive-growing paper's SWD protocol (metrics/swd.py) over the same
+snapshot + dataset machinery train/generate use:
+
+    python -m pggan_tpu.cli.eval \
+        --generator_path results/001-exp/network-snapshot-generator-003000.dat \
+        --dataset_class DefaultImageFolderDataset \
+        --DefaultImageFolderDataset.dir_path datasets/images \
+        --num_samples 256
+
+Reals are drawn from the dataset at the snapshot's own (depth, alpha) — the
+exact distribution the generator was being trained against — so mid-fade
+snapshots are scored against mid-fade data. Prints one distance per pyramid
+level (finest first, x1e3, lower is better) plus the average, and optionally
+writes them as JSON beside the snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import ArgumentParser
+from functools import partial
+
+import numpy as np
+
+import jax
+
+import pggan_tpu.data.datasets as dataset_module
+from pggan_tpu.checkpoint import load_snapshot
+from pggan_tpu.metrics.swd import swd
+from pggan_tpu.utils.config import (
+    add_class_args,
+    generic_arg_parse,
+    get_all_classes,
+    get_structured_params,
+)
+from pggan_tpu.utils.misc import (
+    enable_persistent_compilation_cache,
+    load_pkl,
+    random_latents,
+)
+
+default_params = {
+    "generator_path": "",
+    "load_dataset": "",
+    "dataset_class": "",
+    "num_samples": 256,
+    "minibatch": 32,
+    "nhoods_per_image": 128,
+    "dir_repeats": 4,
+    "dirs_per_repeat": 128,
+    "random_seed": 0,
+    "output_json": "",
+}
+
+
+def _build_dataset(params):
+    """Same dataset construction contract as cli/train.py:198-214."""
+    if params["load_dataset"]:
+        return load_pkl(params["load_dataset"])
+    if params["dataset_class"]:
+        cls = getattr(dataset_module, params["dataset_class"], None)
+        if cls is None:
+            names = sorted(c.__name__ for c in get_all_classes(dataset_module))
+            raise Exception(f"Unknown dataset_class "
+                            f"{params['dataset_class']!r}; available: {names}")
+        return cls(**params.get(params["dataset_class"], {}))
+    raise Exception("One of either load_dataset (path to pkl) or "
+                    "dataset_class needs to be specified.")
+
+
+def evaluate(params):
+    enable_persistent_compilation_cache()
+    num = params["num_samples"]
+    mb = params["minibatch"]
+    if num % mb:
+        raise Exception(f"num_samples ({num}) must be a multiple of "
+                        f"minibatch ({mb})")
+
+    G, g_params, meta = load_snapshot(params["generator_path"])
+    depth, alpha = meta["depth"], meta["alpha"]
+    print(f"Snapshot: depth {depth}, alpha {alpha}, "
+          f"latent {G.latent_size}")
+
+    dataset = _build_dataset(params)
+    dataset.model_depth = depth
+    dataset.alpha = alpha
+    rng = np.random.RandomState(params["random_seed"])
+    idx = rng.randint(0, len(dataset), size=num)  # with replacement: the
+    # dataset may hold fewer than num_samples images
+    print(f"Collecting {num} real images at depth {depth}...")
+    reals = np.stack([dataset[i] for i in idx])  # (N, H, W, C) in [-1, 1]
+
+    print(f"Generating {num} samples...")
+    apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, np.float32(alpha)))
+    fakes = np.concatenate([
+        np.asarray(apply_fn(g_params,
+                            random_latents(mb, G.latent_size, rng)))
+        for _ in range(num // mb)])
+
+    print("Scoring (SWD x1e3, lower is better)...")
+    results = swd(reals, fakes, jax.random.PRNGKey(params["random_seed"]),
+                  nhoods_per_image=params["nhoods_per_image"],
+                  dir_repeats=params["dir_repeats"],
+                  dirs_per_repeat=params["dirs_per_repeat"],
+                  minibatch=mb)
+    for k, v in results.items():
+        label = f"{k}px" if k != "avg" else "avg"
+        print(f"  swd[{label:>6}] = {v:8.2f}")
+
+    out = params["output_json"]
+    if out:
+        payload = {f"swd_{k}": v for k, v in results.items()}
+        payload.update(generator_path=params["generator_path"],
+                       depth=depth, alpha=alpha, num_samples=num)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, out)
+        print(f"Wrote {out}")
+    dataset.close()
+    return results
+
+
+def cli_main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    flat_defaults = dict(default_params)
+    for k in default_params:
+        parser.add_argument(
+            f"--{k}",
+            type=partial(generic_arg_parse, hinttype=type(default_params[k])))
+    add_class_args(parser, get_all_classes(dataset_module),
+                   default_params=flat_defaults)
+    parser.set_defaults(**flat_defaults)
+    params = get_structured_params(vars(parser.parse_args(argv)))
+    return evaluate(params)
+
+
+if __name__ == "__main__":
+    cli_main()
