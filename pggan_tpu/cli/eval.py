@@ -16,6 +16,12 @@ exact distribution the generator was being trained against — so mid-fade
 snapshots are scored against mid-fade data. Prints one distance per pyramid
 level (finest first, x1e3, lower is better) plus the average, and optionally
 writes them as JSON beside the snapshot.
+
+Interpretability: by default (``--real_baseline True``) a SECOND disjoint
+sample of reals is scored against the first, giving the real-vs-real floor
+of the estimator at this sample size — a generator is only meaningfully
+worse than the data to the extent its score exceeds that floor (the paper
+reports the same real-vs-real calibration rows in its SWD tables).
 """
 
 from __future__ import annotations
@@ -51,9 +57,12 @@ default_params = {
     "num_samples": 256,
     "minibatch": 32,
     "nhoods_per_image": 128,
+    "nhood_size": 7,
+    "min_res": 16,
     "dir_repeats": 4,
     "dirs_per_repeat": 128,
     "random_seed": 0,
+    "real_baseline": True,
     "output_json": "",
 }
 
@@ -90,10 +99,17 @@ def evaluate(params):
     dataset.model_depth = depth
     dataset.alpha = alpha
     rng = np.random.RandomState(params["random_seed"])
-    idx = rng.randint(0, len(dataset), size=num)  # with replacement: the
-    # dataset may hold fewer than num_samples images
-    print(f"Collecting {num} real images at depth {depth}...")
-    reals = np.stack([dataset[i] for i in idx])  # (N, H, W, C) in [-1, 1]
+    want_baseline = bool(params["real_baseline"])
+    draw = num * 2 if want_baseline else num
+    # Disjoint halves when the dataset is big enough (a shared image would
+    # bias the real-vs-real floor toward zero); with replacement otherwise.
+    if len(dataset) >= draw:
+        idx = rng.permutation(len(dataset))[:draw]
+    else:
+        idx = rng.randint(0, len(dataset), size=draw)
+    print(f"Collecting {draw} real images at depth {depth}...")
+    all_reals = np.stack([dataset[i] for i in idx])  # (N,H,W,C) in [-1, 1]
+    reals, reals_b = all_reals[:num], all_reals[num:]
 
     print(f"Generating {num} samples...")
     apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, np.float32(alpha)))
@@ -102,19 +118,29 @@ def evaluate(params):
                             random_latents(mb, G.latent_size, rng)))
         for _ in range(num // mb)])
 
+    swd_kwargs = dict(nhoods_per_image=params["nhoods_per_image"],
+                      nhood_size=params["nhood_size"],
+                      min_res=params["min_res"],
+                      dir_repeats=params["dir_repeats"],
+                      dirs_per_repeat=params["dirs_per_repeat"],
+                      minibatch=mb)
+    swd_key = jax.random.PRNGKey(params["random_seed"])
     print("Scoring (SWD x1e3, lower is better)...")
-    results = swd(reals, fakes, jax.random.PRNGKey(params["random_seed"]),
-                  nhoods_per_image=params["nhoods_per_image"],
-                  dir_repeats=params["dir_repeats"],
-                  dirs_per_repeat=params["dirs_per_repeat"],
-                  minibatch=mb)
+    results = swd(reals, fakes, swd_key, **swd_kwargs)
+    baseline = (swd(reals, reals_b, swd_key, **swd_kwargs)
+                if want_baseline else None)
     for k, v in results.items():
         label = f"{k}px" if k != "avg" else "avg"
-        print(f"  swd[{label:>6}] = {v:8.2f}")
+        floor = f"   (real-vs-real floor {baseline[k]:8.2f})" \
+            if baseline else ""
+        print(f"  swd[{label:>6}] = {v:8.2f}{floor}")
 
     out = params["output_json"]
     if out:
         payload = {f"swd_{k}": v for k, v in results.items()}
+        if baseline:
+            payload.update({f"swd_baseline_{k}": v
+                            for k, v in baseline.items()})
         payload.update(generator_path=params["generator_path"],
                        depth=depth, alpha=alpha, num_samples=num)
         tmp = out + ".tmp"
@@ -123,7 +149,7 @@ def evaluate(params):
         os.replace(tmp, out)
         print(f"Wrote {out}")
     dataset.close()
-    return results
+    return results, baseline
 
 
 def cli_main(argv=None):

@@ -14,6 +14,16 @@ metric at all; this module closes that gap with a TPU-native design:
 - randomness comes from ``jax.random`` keys, so a given (key, shapes) pair
   is exactly reproducible across hosts.
 
+Variance-reduction semantics (deliberate, differs from naive independent
+sampling): patch positions are drawn from per-image keys folded from ONE
+base key shared by the real and fake sets — common random numbers. Both
+clouds sample identical positions, so ``swd(a, a) == 0`` exactly at every
+level (no sampling-noise floor on identical sets) and real-vs-fake scores
+have strictly lower estimator variance than independent draws, while the
+estimator itself stays unbiased (positions are uniform either way). Keys
+fold in the GLOBAL image index (not the chunk offset), so results are
+independent of the ``minibatch`` streaming granularity.
+
 Protocol (paper appendix A; constants are the paper's, configurable here):
 each image set is decomposed into a Laplacian pyramid whose levels span
 16x16 up to full resolution, ``nhoods_per_image`` random 7x7xC patches are
@@ -45,12 +55,18 @@ def _blur5(x: jnp.ndarray, gain: float = 1.0) -> jnp.ndarray:
     MACs, and XLA fuses the pair. Reflect padding keeps level statistics
     unbiased at the borders (zero padding would darken every edge patch and
     the metric samples patches uniformly, borders included).
+
+    ``gain`` scales the overall 2-D response once — it is applied to the
+    row pass only, NOT baked into both separable 1-D kernels (which would
+    square it: a gain-4 expand filter would have DC gain 16 and every
+    Laplacian residual would measure ``x - 4*expected`` instead of the
+    intended frequency band).
     """
     n, h, w, c = x.shape
-    k = jnp.asarray(_BINOMIAL5 * gain)
+    k = jnp.asarray(_BINOMIAL5)
     x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
     # depthwise via feature_group_count=C on a (5,1,1,C)/(1,5,1,C) kernel
-    kh = jnp.tile(k.reshape(5, 1, 1, 1), (1, 1, 1, c))
+    kh = jnp.tile((k * gain).reshape(5, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(k.reshape(1, 5, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -94,19 +110,24 @@ def laplacian_levels(x: jnp.ndarray, n_levels: int) -> list[jnp.ndarray]:
     return levels
 
 
-@partial(jax.jit, static_argnames=("nhoods", "size"))
-def _extract_patches(level: jnp.ndarray, key: jax.Array,
+def _extract_patches(level: jnp.ndarray, img_keys: jax.Array,
                      nhoods: int, size: int) -> jnp.ndarray:
     """``nhoods`` random size x size x C patches per image -> (N*nhoods, D).
 
-    Positions are uniform over valid top-left corners. The double-vmapped
-    ``dynamic_slice`` lowers to one fused gather — no materialized
-    all-patches tensor (which at 1024px would be ~600x the image itself).
+    ``img_keys`` is one PRNG key PER IMAGE; positions are uniform over valid
+    top-left corners and depend only on the image's key, never on its chunk
+    neighbours. The double-vmapped ``dynamic_slice`` lowers to one fused
+    gather — no materialized all-patches tensor (which at 1024px would be
+    ~600x the image itself).
     """
     n, h, w, c = level.shape
-    ky, kx = jax.random.split(key)
-    ys = jax.random.randint(ky, (n, nhoods), 0, h - size + 1)
-    xs = jax.random.randint(kx, (n, nhoods), 0, w - size + 1)
+
+    def positions(k):
+        ky, kx = jax.random.split(k)
+        return (jax.random.randint(ky, (nhoods,), 0, h - size + 1),
+                jax.random.randint(kx, (nhoods,), 0, w - size + 1))
+
+    ys, xs = jax.vmap(positions)(img_keys)
 
     def one(img, y, x):
         return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, c))
@@ -115,6 +136,24 @@ def _extract_patches(level: jnp.ndarray, key: jax.Array,
         jax.vmap(one, in_axes=(None, 0, 0))  # over patches within an image
     )(level, ys, xs)
     return patches.reshape(n * nhoods, size * size * c)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "nhoods", "size"))
+def _chunk_descriptors(chunk: jnp.ndarray, img_keys: jax.Array,
+                       n_levels: int, nhoods: int, size: int) -> tuple:
+    """Patch descriptors for EVERY pyramid level of one image chunk, as one
+    jitted program: the Laplacian pyramid is computed once and each level's
+    patches are gathered from it (the per-(chunk, level) variant recomputed
+    the full pyramid per level — O(n_levels^2) blur work, 7x redundant at
+    1024px). Per-level keys fold the level index into each image key so
+    levels draw independent positions."""
+    levels = laplacian_levels(chunk, n_levels)
+    return tuple(
+        _extract_patches(
+            lv_img,
+            jax.vmap(lambda k: jax.random.fold_in(k, lv))(img_keys),
+            nhoods, size)
+        for lv, lv_img in enumerate(levels))
 
 
 def _normalize_descriptors(desc: jnp.ndarray, size: int,
@@ -180,7 +219,10 @@ def swd(reals, fakes, key=None, *, nhoods_per_image: int = 128,
     paper's reporting convention. ``minibatch`` bounds device memory: images
     stream through pyramid+patch extraction in fixed-size chunks (one
     compiled program reused for every chunk), and only the (N*nhoods, D)
-    descriptor clouds persist.
+    descriptor clouds persist. Patch positions use common random numbers
+    across the two sets and fold the global image index, so the score is
+    exactly 0 for identical sets and independent of ``minibatch`` (see
+    module docstring).
 
     Both sets should share the training dynamic range ([-1, 1]); the
     per-channel descriptor normalization removes global gain/offset anyway.
@@ -195,28 +237,40 @@ def swd(reals, fakes, key=None, *, nhoods_per_image: int = 128,
     assert n % minibatch == 0 or n < minibatch, (
         f"num images {n} must be a multiple of minibatch {minibatch} "
         f"(or smaller) so every chunk reuses one compiled program")
+    if min_res < nhood_size:
+        raise ValueError(
+            f"min_res ({min_res}) must be >= nhood_size ({nhood_size}): the "
+            f"coarsest pyramid level must fit at least one patch")
+    if min(h, w) < min_res:
+        raise ValueError(
+            f"images are {h}x{w} but the SWD protocol needs at least "
+            f"min_res x min_res ({min_res}x{min_res}); evaluate a snapshot "
+            f"of resolution >= {min_res}, or lower min_res (>= nhood_size "
+            f"{nhood_size})")
     minibatch = min(minibatch, n)
     n_levels = _n_levels(min(h, w), min_res)
 
-    @partial(jax.jit, static_argnames=("lv",))
-    def chunk_descriptors(chunk, k, lv):
-        level = laplacian_levels(chunk, n_levels)[lv]
-        return _extract_patches(level, k, nhoods_per_image, nhood_size)
+    k_patch, k_dirs = jax.random.split(key)
 
-    def descriptors(images, base_key, lv):
-        out = []
+    def descriptors(images):
+        per_level = [[] for _ in range(n_levels)]
         for i in range(0, n, minibatch):
-            k = jax.random.fold_in(base_key, i)
-            out.append(chunk_descriptors(images[i:i + minibatch], k, lv))
-        d = jnp.concatenate(out, axis=0)
-        return _normalize_descriptors(d, nhood_size, c)
+            img_keys = jax.vmap(
+                lambda j: jax.random.fold_in(k_patch, j)
+            )(jnp.arange(i, i + minibatch, dtype=jnp.uint32))
+            chunk = _chunk_descriptors(images[i:i + minibatch], img_keys,
+                                       n_levels, nhoods_per_image, nhood_size)
+            for lv, patches in enumerate(chunk):
+                per_level[lv].append(patches)
+        return [_normalize_descriptors(jnp.concatenate(ps, axis=0),
+                                       nhood_size, c) for ps in per_level]
 
-    k_real, k_fake, k_dirs = jax.random.split(key, 3)
+    dr = descriptors(reals)
+    df = descriptors(fakes)  # same k_patch: identical positions by design
     results = {}
     for lv in range(n_levels):
-        dr = descriptors(reals, k_real, lv)
-        df = descriptors(fakes, jax.random.fold_in(k_fake, lv), lv)
-        dist = sliced_wasserstein(dr, df, jax.random.fold_in(k_dirs, lv),
+        dist = sliced_wasserstein(dr[lv], df[lv],
+                                  jax.random.fold_in(k_dirs, lv),
                                   dir_repeats, dirs_per_repeat)
         res = min(h, w) // 2 ** lv
         results[res] = float(dist) * 1e3
