@@ -169,6 +169,18 @@ def find_latest_snapshot(result_root: str) -> str:
                                      "network-snapshot-{}-"))
 
 
+def _alias_default(cfg: dict, key: str, cls, value) -> None:
+    """Wire a live top-level alias flag: ``value`` feeds ``cfg[key]`` unless
+    the class-scoped ``--Cls.key`` flag was explicitly moved off its
+    constructor default (the class-scoped flag wins; every auto-generated
+    flag always lands in the structured params with its signature default, so
+    presence alone can't distinguish 'given' from 'defaulted')."""
+    import inspect
+    default = inspect.signature(cls.__init__).parameters[key].default
+    if cfg.get(key, default) == default:
+        cfg[key] = value
+
+
 def make_experiment(params):
     """Optional CometML wiring (reference train.py:67-87); returns None when
     no key is configured or comet_ml is unavailable."""
@@ -331,6 +343,12 @@ def main(params):
     if params["progressive_growing"]:
         max_depth = min(G.max_depth, D.max_depth)
         dm_cfg = dict(params.get("DepthManager", {}))
+        # top-level --tick_kimg_default is the default for the class-scoped
+        # flag (which wins when given). The reference carried this param but
+        # never read it (train.py:31 — dead config, like its random_seed);
+        # here it is live, same treatment the seed got (SURVEY §2.7).
+        _alias_default(dm_cfg, "tick_kimg_default", DepthManager,
+                       params["tick_kimg_default"])
         if dm_cfg.get("max_lod") is None:  # Karras-parity lod logging on by default
             dm_cfg["max_lod"] = G.R
         if dm_cfg.get("depth_offset") is None:
@@ -396,9 +414,14 @@ def main(params):
                              f"available: {', '.join(names)}")
         postprocessors.append(
             proc_cls(**substitute_samples_path(params.get(x, {}))))
+    # top-level --image_snapshot_ticks defaults the class-scoped
+    # --OutputGenerator.output_snapshot_ticks (reference train.py:32 carried
+    # it dead; live here — see tick_kimg_default above).
+    og_cfg = dict(params.get("OutputGenerator", {}))
+    _alias_default(og_cfg, "output_snapshot_ticks", OutputGenerator,
+                   params["image_snapshot_ticks"])
     trainer.register_plugin(OutputGenerator(
-        lambda n: random_latents(n, latent_size), postprocessors,
-        **params.get("OutputGenerator", {})))
+        lambda n: random_latents(n, latent_size), postprocessors, **og_cfg))
     if params.get("profile_dir"):
         from pggan_tpu.training.plugins import TraceProfiler
         trainer.register_plugin(TraceProfiler(params["profile_dir"]))

