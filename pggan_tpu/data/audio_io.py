@@ -18,8 +18,30 @@ except ImportError:  # pragma: no cover - scipy is expected in this image
     _wavfile = None
 
 
-def read_wav(path: str, mono: bool = True) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 signal in [-1, 1], sample_rate)."""
+def resample(sig: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample a 1-D float signal from ``sr_in`` to ``sr_out`` Hz
+    (``scipy.signal.resample_poly`` over the reduced up/down ratio — the
+    standard anti-aliased integer-ratio path librosa itself delegates to)."""
+    if sr_in == sr_out:
+        return sig
+    from math import gcd
+
+    from scipy.signal import resample_poly
+    g = gcd(int(sr_in), int(sr_out))
+    return resample_poly(sig, int(sr_out) // g, int(sr_in) // g).astype(
+        np.float32)
+
+
+def read_wav(path: str, mono: bool = True,
+             target_rate: int | None = None) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 signal in [-1, 1], sample_rate).
+
+    ``target_rate`` resamples to that rate (polyphase, anti-aliased) and
+    returns it as the rate — the behaviour the reference *intends* with
+    ``librosa.load(path, sr=self.frequency)`` (dataset.py:19,286) but
+    silently loses when soundfile shadows librosa (dataset.py:23-28): a
+    44.1 kHz corpus fed to a 16 kHz pipeline would train at the wrong time
+    scale."""
     if _wavfile is None:
         raise ImportError("scipy is required for WAV reading")
     sr, data = _wavfile.read(path)
@@ -33,6 +55,9 @@ def read_wav(path: str, mono: bool = True) -> tuple[np.ndarray, int]:
         sig = data.astype(np.float32)
     if mono and sig.ndim == 2:
         sig = sig.mean(axis=1)  # stereo -> mono (reference dataset.py:287-288)
+    if target_rate is not None and int(target_rate) > 0:
+        sig = resample(sig, int(sr), int(target_rate))
+        sr = int(target_rate)
     return sig, int(sr)
 
 

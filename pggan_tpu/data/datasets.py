@@ -326,8 +326,11 @@ class SoundImageDataset(DefaultImageFolderDataset):
       acts on the real sign).
 
     Each image is normalized per-file to ``range_in`` uint8 (dataset.py:299).
-    ``frequency`` documents the intended sample rate; like the reference's
-    soundfile path (dataset.py:25), no resampling is performed.
+    ``frequency`` is the working sample rate: files at any other rate are
+    polyphase-resampled to it on load (the reference's librosa intent,
+    ``librosa.load(path, sr=self.frequency)`` dataset.py:19,286 — its
+    soundfile fast path silently skipped this, dataset.py:23-28).
+    ``frequency=None``/``0`` keeps each file's native rate.
 
     With ``preload=True`` the abslog/reallog feature extraction runs as ONE
     batched on-device XLA program over all files (``_load_all_files``);
@@ -379,7 +382,7 @@ class SoundImageDataset(DefaultImageFolderDataset):
         need = sound_image_signal_length(self.n_fft, self.hop_length)
         sigs = []
         for f in self.files:
-            sig, _ = read_wav(f, mono=True)
+            sig, _ = read_wav(f, mono=True, target_rate=self.frequency)
             if sig.shape[0] < need:  # host path handles short files' errors
                 return super()._load_all_files()
             sigs.append(sig[:need])
@@ -396,7 +399,8 @@ class SoundImageDataset(DefaultImageFolderDataset):
     def load_file(self, item) -> np.ndarray:
         from pggan_tpu.data.audio_io import read_wav
         from pggan_tpu.ops.stft import stft_np
-        sig, _ = read_wav(self.files[item], mono=True)
+        sig, _ = read_wav(self.files[item], mono=True,
+                          target_rate=self.frequency)
         if self.img_mode == "raw":
             size = int(np.log2(np.sqrt(sig.shape[0])))
             img = sig[:(2 ** size) ** 2].reshape(2 ** size, 2 ** size)
