@@ -113,10 +113,53 @@ class DepthDataset:
         pass
 
 
+def _gather_rows(arr, items) -> np.ndarray:
+    """Fancy-gather rows from an array-like that may only support sorted
+    unique selections (h5py datasets): read the sorted unique rows once,
+    then scatter back to the requested (possibly duplicated, unsorted)
+    order. For plain numpy/memmap arrays it's a single fancy index."""
+    items = np.asarray(items)
+    if isinstance(arr, np.ndarray):  # includes np.memmap
+        return np.asarray(arr[items])
+    uniq, inverse = np.unique(items, return_inverse=True)
+    return np.asarray(arr[uniq])[inverse]
+
+
+class _H5Window:
+    """Read-through NHWC uint8 view over one on-disk NCHW ``data{r}x{r}``
+    array: every access reads only the requested rows from the file (h5py
+    chunk cache + OS page cache behind it), so corpora larger than host RAM
+    stream instead of loading up front."""
+
+    def __init__(self, dset, max_images=None):
+        self._dset = dset
+        n = dset.shape[0] if max_images is None \
+            else min(int(max_images), dset.shape[0])
+        self._n = n
+        c, h, w = dset.shape[1:]
+        self.shape = (n, h, w, c)  # reported NHWC like in-RAM levels
+        self.dtype = dset.dtype
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            return np.asarray(self._dset[int(item)]).transpose(1, 2, 0)
+        rows = _gather_rows(self._dset, item)
+        return rows.transpose(0, 2, 3, 1)
+
+
 class H5Dataset(DepthDataset):
     """Karras-format HDF5 dataset (reference ``OldH5Dataset``,
-    dataset.py:73-116): one ``data{r}x{r}`` array per resolution, loaded
-    fully into RAM. On-disk arrays are NCHW uint8; stored here as NHWC."""
+    dataset.py:73-116): one ``data{r}x{r}`` array per resolution. On-disk
+    arrays are NCHW uint8; served as NHWC.
+
+    ``preload=True`` mirrors the reference's load-everything-into-RAM
+    behaviour (its dataset.py:96 "(!)"); ``preload=False`` keeps the file
+    open and serves windowed per-batch reads through :class:`_H5Window`, so
+    a CelebA-HQ-scale 1024px corpus (>100 GB with its pyramid) trains
+    without fitting in host memory. Both modes serve identical items."""
 
     def __init__(self,
                  h5_path="datasets/cifar10-32.h5",
@@ -125,19 +168,32 @@ class H5Dataset(DepthDataset):
                  model_initial_depth=0,
                  alpha=1.0,
                  range_in=(0, 255),
-                 range_out=(-1, 1)):
+                 range_out=(-1, 1),
+                 preload=True):
         super().__init__(model_dataset_depth_offset, model_initial_depth,
                          alpha, range_in, range_out)
-        import h5py
         self.h5_path = h5_path
-        with h5py.File(h5_path, "r") as f:
-            resolutions = sorted({v.shape[-1] for v in f.values()})
-            levels = {}
-            for r in resolutions:
-                arr = np.asarray(f[f"data{r}x{r}"])
-                if max_images is not None:
-                    arr = arr[:max_images]
-                levels[int(math.log2(r))] = arr.transpose(0, 2, 3, 1)  # -> NHWC
+        self.max_images = max_images
+        self.preload = preload
+        self._h5 = None
+        self._open()
+
+    def _open(self):
+        import h5py
+        if self.preload:
+            with h5py.File(self.h5_path, "r") as f:
+                levels = {}
+                for r in sorted({v.shape[-1] for v in f.values()}):
+                    arr = np.asarray(f[f"data{r}x{r}"])
+                    if self.max_images is not None:
+                        arr = arr[:self.max_images]
+                    levels[int(math.log2(r))] = arr.transpose(0, 2, 3, 1)
+        else:
+            self._h5 = h5py.File(self.h5_path, "r")
+            levels = {
+                int(math.log2(r)): _H5Window(self._h5[f"data{r}x{r}"],
+                                             self.max_images)
+                for r in sorted({v.shape[-1] for v in self._h5.values()})}
         max_level = max(levels)
         self._data = [levels.get(d) for d in range(max_level + 1)]
 
@@ -148,6 +204,32 @@ class H5Dataset(DepthDataset):
     def __len__(self):
         return self._data[-1].shape[0]
 
+    def raw_batch(self, items):
+        level = self._data[self.model_depth
+                           + self.model_dataset_depth_offset]
+        if level is None or level.dtype != np.uint8:
+            return None
+        return level[np.asarray(items)] if isinstance(level, _H5Window) \
+            else level[items]
+
+    def close(self):
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+
+    # --- pickling (``--save_dataset`` pkl cache): drop the live handle ----
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        if not self.preload:
+            state["_h5"] = None
+            state["_data"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if not self.preload:
+            self._open()
+
 
 class OldH5Dataset(H5Dataset):
     """Drop-in alias for the reference's class name (dataset.py:73) so
@@ -157,12 +239,28 @@ class OldH5Dataset(H5Dataset):
 
 
 class FolderDataset(DepthDataset):
-    """Abstract directory-of-files dataset with an optional fully-preloaded
+    """Abstract directory-of-files dataset with an optional preloaded
     multi-resolution pyramid (reference dataset.py:119-206).
+
+    ``preload`` modes:
+
+    - ``False`` — lazy: each ``__getitem__`` re-loads the file and
+      re-derives the requested depth (cheap for audio squares, hostile at
+      1024px).
+    - ``True`` — the reference's everything-into-RAM pyramid
+      (dataset.py:141-162); >100 GB/host at CelebA-HQ scale.
+    - ``"disk"`` — a one-time on-disk uint8 pyramid cache (one memmapped
+      ``.npy`` per depth level under ``cache_dir``), built streaming with
+      O(1) memory and reopened read-only: batches read only their rows
+      through the OS page cache, so corpora larger than host RAM train at
+      full resolution. The cache self-validates against the file list,
+      sizes, and the feature parameters; a second construction reuses it.
 
     Subclasses implement ``load_file`` (-> HWC uint8/float array at the max
     depth), ``create_datapoint_from_depth`` and ``infer_max_dataset_depth``.
     """
+
+    _CACHE_VERSION = 1
 
     def __init__(self,
                  dir_path,
@@ -173,7 +271,8 @@ class FolderDataset(DepthDataset):
                  model_initial_depth=0,
                  alpha=1.0,
                  range_in=(0, 255),
-                 range_out=(-1, 1)):
+                 range_out=(-1, 1),
+                 cache_dir=""):
         super().__init__(model_dataset_depth_offset, model_initial_depth,
                          alpha, range_in, range_out)
         self.dir_path = dir_path
@@ -186,10 +285,14 @@ class FolderDataset(DepthDataset):
             self.max_dataset_depth = self.infer_max_dataset_depth(
                 self.load_file(0))
         self.preload = preload
+        self.cache_dir = cache_dir or os.path.join(
+            dir_path, ".pggan_pyramid_cache")
         self.min_dataset_depth = (0 if preload and create_unused_depths
                                   else self.model_dataset_depth_offset)
         self._data = [None] * (self.max_dataset_depth + 1)
-        if self.preload:
+        if self.preload == "disk":
+            self._open_or_build_disk_pyramid()
+        elif self.preload:
             self._preload_pyramid()
 
     def _preload_pyramid(self):
@@ -215,6 +318,97 @@ class FolderDataset(DepthDataset):
         """Full-resolution datapoints for every file; default is the per-file
         host loader."""
         return [self.load_file(i) for i in range(len(self.files))]
+
+    # --- disk pyramid mode (preload="disk") --------------------------------
+    def _cache_fingerprint(self) -> dict:
+        """What the disk cache's validity depends on: the corpus (names +
+        sizes) and every parameter that changes pixel content."""
+        feature_keys = ("imread_mode", "scale_factor", "n_fft", "hop_length",
+                        "frequency", "img_mode")
+        return {
+            "version": self._CACHE_VERSION,
+            "class": type(self).__name__,
+            "files": [[os.path.basename(f), os.path.getsize(f)]
+                      for f in self.files],
+            "max_dataset_depth": int(self.max_dataset_depth),
+            "min_dataset_depth": int(self.min_dataset_depth),
+            "range_in": list(self.range_in),
+            "features": {k: getattr(self, k) for k in feature_keys
+                         if hasattr(self, k)},
+        }
+
+    def _open_or_build_disk_pyramid(self):
+        import json
+        meta_path = os.path.join(self.cache_dir, "meta.json")
+        fp = self._cache_fingerprint()
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if json.load(f) == json.loads(json.dumps(fp)):
+                    for d in range(self.min_dataset_depth,
+                                   self.max_dataset_depth + 1):
+                        self._data[d] = np.load(self._level_path(d),
+                                                mmap_mode="r")
+                    return
+        self._build_disk_pyramid()
+        # meta written LAST: its presence marks a complete, consistent build
+        os.makedirs(self.cache_dir, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, meta_path)
+
+    def _level_path(self, depth: int) -> str:
+        return os.path.join(self.cache_dir, f"level_{depth:02}.npy")
+
+    def _build_disk_pyramid(self, chunk: int = 64):
+        """Stream the pyramid to disk: full resolution file-by-file, then
+        each coarser level derived chunk-wise from the memmapped level above
+        — peak memory is one chunk, never the corpus."""
+        from numpy.lib.format import open_memmap
+        os.makedirs(self.cache_dir, exist_ok=True)
+        n = len(self.files)
+        for depth in range(self.max_dataset_depth,
+                           self.min_dataset_depth - 1, -1):
+            if depth == self.max_dataset_depth:
+                first = self.load_file(0)
+                assert first.dtype == np.uint8, (
+                    "disk pyramid mode requires uint8 datapoints "
+                    f"(got {first.dtype})")
+                arr = open_memmap(self._level_path(depth), mode="w+",
+                                  dtype=np.uint8, shape=(n,) + first.shape)
+                arr[0] = first
+                for i in range(1, n):
+                    dp = self.load_file(i)
+                    assert dp.shape == first.shape, \
+                        "all files must share one shape (dataset.py:160)"
+                    arr[i] = dp
+            else:
+                src = self._data[depth + 1]
+                item = self.create_datapoint_from_depth(
+                    np.asarray(src[0]), depth + 1, depth)
+                arr = open_memmap(self._level_path(depth), mode="w+",
+                                  dtype=np.uint8, shape=(n,) + item.shape)
+                for lo in range(0, n, chunk):
+                    block = np.asarray(src[lo:lo + chunk])
+                    for j in range(block.shape[0]):
+                        arr[lo + j] = self.create_datapoint_from_depth(
+                            block[j], depth + 1, depth)
+            arr.flush()
+            del arr  # close the writable map before reopening read-only
+            self._data[depth] = np.load(self._level_path(depth),
+                                        mmap_mode="r")
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        if self.preload == "disk":  # memmaps must not pickle by value
+            state["_data"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.preload == "disk":
+            self._data = [None] * (self.max_dataset_depth + 1)
+            self._open_or_build_disk_pyramid()
 
     @property
     def data(self):
@@ -279,12 +473,14 @@ class DefaultImageFolderDataset(FolderDataset):
                  range_in=(0, 255),
                  range_out=(-1, 1),
                  imread_mode="L",
-                 scale_factor=2):
+                 scale_factor=2,
+                 cache_dir=""):
         self.imread_mode = imread_mode
         self.scale_factor = scale_factor
         super().__init__(dir_path, max_dataset_depth, create_unused_depths,
                          preload, model_dataset_depth_offset,
-                         model_initial_depth, alpha, range_in, range_out)
+                         model_initial_depth, alpha, range_in, range_out,
+                         cache_dir=cache_dir)
 
     def load_file(self, item) -> np.ndarray:
         from PIL import Image
@@ -352,7 +548,8 @@ class SoundImageDataset(DefaultImageFolderDataset):
                  n_fft=1024,
                  hop_length=128,
                  frequency=16000,
-                 img_mode="abslog"):
+                 img_mode="abslog",
+                 cache_dir=""):
         assert n_fft == 2 ** int(np.log2(n_fft)), "n_fft must be a power of 2"
         self.n_fft = n_fft
         self.hop_length = hop_length
@@ -361,7 +558,7 @@ class SoundImageDataset(DefaultImageFolderDataset):
         super().__init__(dir_path, max_dataset_depth, create_unused_depths,
                          preload, model_dataset_depth_offset,
                          model_initial_depth, alpha, range_in, range_out,
-                         scale_factor=scale_factor)
+                         scale_factor=scale_factor, cache_dir=cache_dir)
 
     def _load_all_files(self):
         """Batched ON-DEVICE feature extraction for the preload path: all
