@@ -195,13 +195,15 @@ class TrainStepBuilder:
         per-tick means cover every step, not a subsample.
         """
         raw = self._raw_step(depth, batch_size, fade)
-        # scan-unroll knob (PGGAN_GROUP_UNROLL=n, default 1 = rolled): a
-        # rolled scan is an XLA while loop whose carry is the full TrainState
-        # — if the loop can't alias the carry buffers, every iteration pays a
-        # state-sized copy. Unrolling trades that (and the loop's fusion
-        # barrier) for ~n x compile time. Same numerics either way
-        # (tests/test_group_step.py passes under PGGAN_GROUP_UNROLL=8);
-        # the default follows the measured self-time A/B in BASELINE.md.
+        # scan-unroll knob (PGGAN_GROUP_UNROLL=n, default 1 = rolled),
+        # SETTLED by a same-session TPU A/B (scripts/ab_group_unroll.py,
+        # BASELINE.md round 4): depth-5 b16 self-time lone 48.20 / rolled
+        # 47.70 / unrolled 48.07 ms with a 0.02 ms drift band — XLA aliases
+        # the donated TrainState through the while-loop carry, so the rolled
+        # scan costs NOTHING and unrolling would only multiply compile time
+        # ~group-fold. (Round 3's apparent 47.7-vs-40.8 gap was cross-session
+        # chip-clock drift, not carry copies.) Same numerics either way
+        # (tests/test_group_step.py passes under PGGAN_GROUP_UNROLL=8).
         import os
         unroll = int(os.environ.get("PGGAN_GROUP_UNROLL", "1"))
 
