@@ -22,11 +22,13 @@ def reference(x_nhcw, w):
 
 
 # C = 5/3/16/8 covers both compute paths: the merged (K, 3C) @ (3C, W)
-# formulation (C % 8 == 0) and the thin per-tap fallback
+# formulation (C % 8 == 0) and the thin per-tap fallback; the C=128 case
+# pins the widened-envelope regime (PALLAS_MAX_CIN_HI=128 A/B, BASELINE r4)
 @pytest.mark.parametrize("shape,cout", [((2, 32, 5, 128), 7),
                                         ((1, 16, 3, 256), 16),
                                         ((3, 8, 16, 128), 4),
-                                        ((2, 24, 8, 128), 12)])
+                                        ((2, 24, 8, 128), 12),
+                                        ((1, 8, 128, 128), 256)])
 def test_matches_lax_conv(shape, cout):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*shape).astype(np.float32))
