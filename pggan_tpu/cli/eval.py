@@ -63,6 +63,7 @@ default_params = {
     "dirs_per_repeat": 128,
     "random_seed": 0,
     "real_baseline": True,
+    "msssim": True,
     "output_json": "",
 }
 
@@ -135,12 +136,27 @@ def evaluate(params):
             if baseline else ""
         print(f"  swd[{label:>6}] = {v:8.2f}{floor}")
 
+    ms_fake = ms_real = None
+    if params["msssim"] and min(reals.shape[1], reals.shape[2]) >= 11:
+        # paper §5 mode-collapse statistic: mean MS-SSIM among random pairs
+        # of one set — high fake-pair similarity vs the reals' own pairing
+        # means the generator emits near-duplicates
+        from pggan_tpu.metrics.msssim import pairwise_msssim
+        k_pair = jax.random.PRNGKey(params["random_seed"] + 1)
+        ms_fake = pairwise_msssim(fakes, k_pair, minibatch=mb)
+        ms_real = pairwise_msssim(reals, k_pair, minibatch=mb)
+        print(f"  msssim[ fakes] = {ms_fake:8.4f}   "
+              f"(real-pair baseline {ms_real:8.4f}; ~baseline = healthy, "
+              f"~1.0 = mode collapse)")
+
     out = params["output_json"]
     if out:
         payload = {f"swd_{k}": v for k, v in results.items()}
         if baseline:
             payload.update({f"swd_baseline_{k}": v
                             for k, v in baseline.items()})
+        if ms_fake is not None:
+            payload.update(msssim_fakes=ms_fake, msssim_reals=ms_real)
         payload.update(generator_path=params["generator_path"],
                        depth=depth, alpha=alpha, num_samples=num)
         tmp = out + ".tmp"

@@ -252,3 +252,6 @@ def test_eval_cli_e2e(tmp_path):
     assert payload["swd_avg"] == results["avg"]
     assert payload["swd_baseline_avg"] == baseline["avg"]
     assert payload["depth"] == 2
+    # the paper's second metric rides along with its real-pair baseline
+    assert 0.0 <= payload["msssim_fakes"] <= 1.0
+    assert 0.0 <= payload["msssim_reals"] <= 1.0
