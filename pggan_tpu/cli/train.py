@@ -25,6 +25,7 @@ from functools import partial
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 import pggan_tpu.data.datasets as dataset_module
 import pggan_tpu.postprocess as postprocess_module
@@ -97,6 +98,9 @@ default_params = OrderedDict(
     iwass_lambda=10.0,
     iwass_epsilon=0.001,
     iwass_target=1.0,
+    g_ema_beta=0.0,      # >0 keeps an EMA of G (e.g. 0.999) and snapshots it
+                         # as network-snapshot-generator-ema-*.dat (Karras'
+                         # Gs smoothing; the reference has none)
     save_dataset="",
     load_dataset="",
     dataset_class="",
@@ -303,12 +307,21 @@ def main(params):
     trainer_cfg.pop("resume_iterations", None)
     d_repeats = trainer_cfg.pop("D_training_repeats", 1)
 
+    g_ema_beta = float(params["g_ema_beta"])
+    if g_ema_beta > 0 and getattr(state, "g_ema", None) is None:
+        # fresh start, or resume from a pre-EMA checkpoint: seed the average
+        # at the current params (Karras' Gs initialization). COPIES, not
+        # aliases — the step donates the whole state, and two leaves sharing
+        # one device buffer would be a double donation.
+        state = state._replace(g_ema=jax.tree_util.tree_map(
+            lambda x: jnp.array(x), state.g_params))
     builder = TrainStepBuilder(
         G, D, optimizer, d_training_repeats=d_repeats,
         iwass_lambda=params["iwass_lambda"],
         iwass_epsilon=params["iwass_epsilon"],
         iwass_target=params["iwass_target"],
-        mesh=mesh)
+        mesh=mesh,
+        g_ema_beta=g_ema_beta if g_ema_beta > 0 else None)
 
     # -- input pipeline (reference train.py:140-145) ------------------------
     def get_dataiter(minibatch_size):

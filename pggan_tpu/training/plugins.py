@@ -330,9 +330,13 @@ class SaverPlugin(Plugin):
         # mid-save must never leave the directory without a valid resume
         # point. (Both writes are atomic: temp file + rename, checkpoint.py.)
         written = []
-        for name, model, params in (
-                ("generator", trainer.G, trainer.state.g_params),
-                ("discriminator", trainer.D, trainer.state.d_params)):
+        targets = [("generator", trainer.G, trainer.state.g_params),
+                   ("discriminator", trainer.D, trainer.state.d_params)]
+        if getattr(trainer.state, "g_ema", None) is not None:
+            # smoothed generator (--g_ema_beta): the snapshot generate/eval
+            # should usually consume. Self-contained like the others.
+            targets.append(("generator-ema", trainer.G, trainer.state.g_ema))
+        for name, model, params in targets:
             path = os.path.join(self.checkpoints_path,
                                 self.last_pattern.format(name, kimg))
             save_snapshot(path, model, params, trainer.depth, trainer.alpha)

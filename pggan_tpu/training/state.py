@@ -25,6 +25,12 @@ class TrainState(NamedTuple):
     g_opt: Any
     d_opt: Any
     rng: jax.Array
+    # Exponential moving average of g_params (--g_ema_beta; None = disabled).
+    # The reference has no EMA; Karras' official implementation smooths G for
+    # evaluation/sampling and it measurably improves sample quality. Kept as
+    # a trailing default so pre-round-4 training-state pickles (which reduce
+    # to ``TrainState(*five_values)``) still load, with g_ema=None.
+    g_ema: Any = None
 
 
 def make_optimizer(b1: float = 0.0, b2: float = 0.99,

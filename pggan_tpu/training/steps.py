@@ -46,7 +46,8 @@ class TrainStepBuilder:
                  iwass_epsilon: float = 0.001,
                  iwass_target: float = 1.0,
                  mesh=None,
-                 batch_axis: str = "data"):
+                 batch_axis: str = "data",
+                 g_ema_beta: float | None = None):
         self.G = G
         self.D = D
         self.optimizer = optimizer
@@ -54,6 +55,11 @@ class TrainStepBuilder:
         self.iwass_lambda = float(iwass_lambda)
         self.iwass_epsilon = float(iwass_epsilon)
         self.iwass_target = float(iwass_target)
+        # per-step generator EMA decay (Karras' Gs smoothing; the reference
+        # has none). Updated INSIDE the raw step, so grouped dispatch applies
+        # it exactly per step through the scan.
+        self.g_ema_beta = (None if g_ema_beta is None or g_ema_beta <= 0
+                           else float(g_ema_beta))
         self.mesh = mesh
         self.batch_axis = batch_axis
         if mesh is not None:
@@ -153,7 +159,21 @@ class TrainStepBuilder:
             g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
             g_params = apply_updates(state.g_params, g_updates, lr_g)
 
-            new_state = TrainState(g_params, d_params, g_opt, d_opt, rng)
+            if self.g_ema_beta is not None:
+                if state.g_ema is None:
+                    raise ValueError(
+                        "g_ema_beta is set but TrainState.g_ema is None — "
+                        "initialize it (state._replace(g_ema=state.g_params))"
+                        " before building steps")
+                beta = self.g_ema_beta
+                g_ema = jax.tree_util.tree_map(
+                    lambda e, p: e + (1.0 - beta) * (p - e),
+                    state.g_ema, g_params)
+            else:
+                g_ema = state.g_ema
+
+            new_state = TrainState(g_params, d_params, g_opt, d_opt, rng,
+                                   g_ema)
             # Reference reports the *last* D repeat's losses (trainer.py:89-97
             # overwrites d_losses each repeat).
             metrics = {
