@@ -15,6 +15,7 @@ File naming mirrors the reference layout so its UX carries over:
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 
 import jax
@@ -28,7 +29,6 @@ def _to_numpy(tree):
 def _atomic_dump(payload, path: str) -> None:
     """Write-then-rename so a crash mid-pickle never leaves a truncated
     checkpoint at the final name."""
-    import os
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
@@ -72,6 +72,44 @@ def load_snapshot(path: str):
     model = classes[payload["model_class"]](**payload["config"])
     meta = {k: payload[k] for k in ("depth", "alpha", "model_class")}
     return model, payload["params"], meta
+
+
+def resolve_generator_path(path: str, result_dir: str = "results",
+                           prefer_ema: bool = True) -> str:
+    """Resolve ``--generator_path latest`` for the generate/eval CLIs: the
+    newest run directory under ``result_dir`` (by snapshot mtime), then the
+    highest kimg inside it — the same rule as train's ``--resume_network
+    latest`` (cli/train.py find_latest_snapshot), minus the discriminator
+    pairing inference doesn't need. When a ``generator-ema`` twin of the
+    winner exists and ``prefer_ema``, the smoothed snapshot is returned (it
+    is the one Karras-style sampling should consume). Non-'latest' paths
+    pass through unchanged."""
+    if path != "latest":
+        return path
+    import glob
+    import re
+    cands = [p for p in glob.glob(
+        os.path.join(result_dir, "**", "network-snapshot-generator-*.dat"),
+        recursive=True) if "-generator-ema-" not in p]
+    if not cands:
+        raise SystemExit(f"--generator_path latest: no generator snapshots "
+                         f"under {result_dir}")
+
+    def kimg(p):
+        m = re.search(r"-(\d+)\.dat$", p)
+        return int(m.group(1)) if m else -1
+
+    by_dir = {}
+    for p in cands:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    run_dir = max(by_dir, key=lambda d: max(map(os.path.getmtime, by_dir[d])))
+    best = max(by_dir[run_dir], key=kimg)
+    if prefer_ema:
+        ema = best.replace("network-snapshot-generator-",
+                           "network-snapshot-generator-ema-")
+        if os.path.exists(ema):
+            return ema
+    return best
 
 
 def save_training_state(path: str, state, cur_nimg: int, iterations: int,

@@ -51,7 +51,8 @@ from pggan_tpu.utils.misc import (
 )
 
 default_params = {
-    "generator_path": "",
+    "generator_path": "",   # a snapshot path, or 'latest' (see result_dir)
+    "result_dir": "results",  # search root for --generator_path latest
     "load_dataset": "",
     "dataset_class": "",
     "num_samples": 256,
@@ -91,6 +92,10 @@ def evaluate(params):
         raise Exception(f"num_samples ({num}) must be a multiple of "
                         f"minibatch ({mb})")
 
+    from pggan_tpu.checkpoint import resolve_generator_path
+    params["generator_path"] = resolve_generator_path(
+        params["generator_path"], params["result_dir"])
+    print(f"Loading {params['generator_path']}")
     G, g_params, meta = load_snapshot(params["generator_path"])
     depth, alpha = meta["depth"], meta["alpha"]
     print(f"Snapshot: depth {depth}, alpha {alpha}, "

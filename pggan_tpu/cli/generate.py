@@ -32,7 +32,8 @@ from pggan_tpu.utils.misc import (
 )
 
 default_params = {
-    "generator_path": "",
+    "generator_path": "",   # a snapshot path, or 'latest' (see result_dir)
+    "result_dir": "results",  # search root for --generator_path latest
     "num_samples": 6,
     "postprocessors": [],
     "description": "unknown",
@@ -41,8 +42,11 @@ default_params = {
 
 
 def output_samples(generator_path, num_samples, postprocessors, description,
-                   random_seed=0):
+                   random_seed=0, result_dir="results"):
     enable_persistent_compilation_cache()
+    from pggan_tpu.checkpoint import resolve_generator_path
+    generator_path = resolve_generator_path(generator_path, result_dir)
+    print(f"Loading {generator_path}")
     G, params, meta = load_snapshot(generator_path)
     latent_size = G.latent_size
     print("Sampling noise...")
@@ -75,7 +79,7 @@ def cli_main(argv=None):
                       for x in params["postprocessors"]]
     output_samples(params["generator_path"], params["num_samples"],
                    postprocessors, params["description"],
-                   params["random_seed"])
+                   params["random_seed"], params["result_dir"])
 
 
 if __name__ == "__main__":

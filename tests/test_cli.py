@@ -392,3 +392,41 @@ def test_top_level_tick_and_snapshot_flags_are_live(tmp_path, monkeypatch):
     ])
     assert captured["dm"]["tick_kimg_default"] == 0.25
     assert captured["og"]["output_snapshot_ticks"] == 9
+
+
+def test_resolve_generator_path_latest(tmp_path):
+    """'latest' picks the newest run dir (by mtime) then the highest kimg,
+    preferring the generator-ema twin when one exists (checkpoint.py)."""
+    import time
+
+    from pggan_tpu.checkpoint import resolve_generator_path
+
+    root = str(tmp_path)
+
+    def touch(sub, kimg, ema=False, t=None):
+        d = os.path.join(root, sub)
+        os.makedirs(d, exist_ok=True)
+        name = ("network-snapshot-generator-ema-{:06}.dat" if ema
+                else "network-snapshot-generator-{:06}.dat").format(kimg)
+        p = os.path.join(d, name)
+        open(p, "w").close()
+        if t is not None:
+            os.utime(p, (t, t))
+        return p
+
+    now = time.time()
+    touch("000-old", 99, t=now - 100)
+    best = touch("001-new", 2, t=now)
+    touch("001-new", 1, t=now - 1)
+
+    # explicit paths pass through untouched
+    assert resolve_generator_path("/some/where.dat", root) == "/some/where.dat"
+    # newest dir wins over the older dir's higher kimg; then highest kimg
+    assert resolve_generator_path("latest", root) == best
+    # the ema twin of the winner is preferred when present
+    ema = touch("001-new", 2, ema=True, t=now)
+    assert resolve_generator_path("latest", root) == ema
+    assert resolve_generator_path("latest", root, prefer_ema=False) == best
+
+    with pytest.raises(SystemExit, match="no generator snapshots"):
+        resolve_generator_path("latest", str(tmp_path / "empty"))
