@@ -53,6 +53,8 @@ from pggan_tpu.utils.misc import (
 default_params = {
     "generator_path": "",   # a snapshot path, or 'latest' (see result_dir)
     "result_dir": "results",  # search root for --generator_path latest
+    "run_dir": "",   # history mode: score EVERY snapshot in this run dir
+    #               (ema twins preferred) -> eval_history.jsonl curve
     "load_dataset": "",
     "dataset_class": "",
     "num_samples": 256,
@@ -84,24 +86,16 @@ def _build_dataset(params):
                     "dataset_class needs to be specified.")
 
 
-def evaluate(params):
-    enable_persistent_compilation_cache()
+def _score_snapshot(path, dataset, params):
+    """Score ONE generator snapshot against ``dataset`` (set to the
+    snapshot's own depth/alpha); returns ``(payload, results, baseline)``."""
     num = params["num_samples"]
     mb = params["minibatch"]
-    if num % mb:
-        raise Exception(f"num_samples ({num}) must be a multiple of "
-                        f"minibatch ({mb})")
-
-    from pggan_tpu.checkpoint import resolve_generator_path
-    params["generator_path"] = resolve_generator_path(
-        params["generator_path"], params["result_dir"])
-    print(f"Loading {params['generator_path']}")
-    G, g_params, meta = load_snapshot(params["generator_path"])
+    G, g_params, meta = load_snapshot(path)
     depth, alpha = meta["depth"], meta["alpha"]
     print(f"Snapshot: depth {depth}, alpha {alpha}, "
           f"latent {G.latent_size}")
 
-    dataset = _build_dataset(params)
     dataset.model_depth = depth
     dataset.alpha = alpha
     rng = np.random.RandomState(params["random_seed"])
@@ -154,23 +148,87 @@ def evaluate(params):
               f"(real-pair baseline {ms_real:8.4f}; ~baseline = healthy, "
               f"~1.0 = mode collapse)")
 
-    out = params["output_json"]
-    if out:
-        payload = {f"swd_{k}": v for k, v in results.items()}
-        if baseline:
-            payload.update({f"swd_baseline_{k}": v
-                            for k, v in baseline.items()})
-        if ms_fake is not None:
-            payload.update(msssim_fakes=ms_fake, msssim_reals=ms_real)
-        payload.update(generator_path=params["generator_path"],
-                       depth=depth, alpha=alpha, num_samples=num)
-        tmp = out + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2)
-        os.replace(tmp, out)
-        print(f"Wrote {out}")
-    dataset.close()
-    return results, baseline
+    payload = {f"swd_{k}": v for k, v in results.items()}
+    if baseline:
+        payload.update({f"swd_baseline_{k}": v
+                        for k, v in baseline.items()})
+    if ms_fake is not None:
+        payload.update(msssim_fakes=ms_fake, msssim_reals=ms_real)
+    payload.update(generator_path=path, depth=depth, alpha=alpha,
+                   num_samples=num)
+    return payload, results, baseline
+
+
+def _run_snapshots(run_dir: str) -> list[str]:
+    """Every generator snapshot of a run, kimg-ascending; where a kimg has a
+    generator-ema twin, the smoothed snapshot is scored instead."""
+    import glob as _glob
+    import re
+
+    def kimg(p):
+        m = re.search(r"-(\d+)\.dat$", p)
+        return int(m.group(1)) if m else -1
+
+    plain = sorted(
+        (p for p in _glob.glob(os.path.join(
+            run_dir, "network-snapshot-generator-*.dat"))
+         if "-generator-ema-" not in p), key=kimg)
+    out = []
+    for p in plain:
+        ema = p.replace("network-snapshot-generator-",
+                        "network-snapshot-generator-ema-")
+        out.append(ema if os.path.exists(ema) else p)
+    return out
+
+
+def evaluate(params):
+    enable_persistent_compilation_cache()
+    num = params["num_samples"]
+    mb = params["minibatch"]
+    if num % mb:
+        raise Exception(f"num_samples ({num}) must be a multiple of "
+                        f"minibatch ({mb})")
+
+    dataset = _build_dataset(params)
+    try:
+        if params["run_dir"]:
+            # history mode: score every snapshot of a run (train with
+            # --SaverPlugin.keep_old_checkpoints True to keep them all) and
+            # append one JSON line per snapshot — the metric-vs-kimg curve
+            snaps = _run_snapshots(params["run_dir"])
+            if not snaps:
+                raise SystemExit(f"--run_dir {params['run_dir']}: no "
+                                 f"generator snapshots found")
+            out = params["output_json"] or os.path.join(
+                params["run_dir"], "eval_history.jsonl")
+            rows = []
+            for p in snaps:
+                print(f"\n=== {os.path.basename(p)} ===")
+                payload, _, _ = _score_snapshot(p, dataset, params)
+                rows.append(payload)
+                with open(out + ".tmp", "w") as f:
+                    for r in rows:
+                        f.write(json.dumps(r) + "\n")
+                os.replace(out + ".tmp", out)
+            print(f"\nWrote {len(rows)} rows to {out}")
+            return rows
+
+        from pggan_tpu.checkpoint import resolve_generator_path
+        params["generator_path"] = resolve_generator_path(
+            params["generator_path"], params["result_dir"])
+        print(f"Loading {params['generator_path']}")
+        payload, results, baseline = _score_snapshot(
+            params["generator_path"], dataset, params)
+        out = params["output_json"]
+        if out:
+            tmp = out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=2)
+            os.replace(tmp, out)
+            print(f"Wrote {out}")
+        return results, baseline
+    finally:
+        dataset.close()
 
 
 def cli_main(argv=None):

@@ -255,3 +255,42 @@ def test_eval_cli_e2e(tmp_path):
     # the paper's second metric rides along with its real-pair baseline
     assert 0.0 <= payload["msssim_fakes"] <= 1.0
     assert 0.0 <= payload["msssim_reals"] <= 1.0
+
+
+def test_eval_history_mode(tmp_path):
+    """--run_dir scores every snapshot (ema twins preferred) into a
+    metric-vs-kimg JSONL curve."""
+    from pggan_tpu.checkpoint import save_snapshot
+    from pggan_tpu.cli.eval import cli_main
+    from pggan_tpu.models.generator import Generator
+
+    G = Generator(dataset_shape=(64, 3, 16, 16), fmap_base=64, fmap_max=16,
+                  latent_size=8)
+    run = tmp_path / "run"
+    os.makedirs(run)
+    for kimg, seed in ((1, 0), (2, 1)):
+        params = G.init(jax.random.PRNGKey(seed))
+        save_snapshot(str(run / f"network-snapshot-generator-{kimg:06}.dat"),
+                      G, params, depth=2, alpha=1.0)
+    # an ema twin for kimg 2 must be scored in place of the plain snapshot
+    ema_params = G.init(jax.random.PRNGKey(7))
+    save_snapshot(str(run / "network-snapshot-generator-ema-000002.dat"),
+                  G, ema_params, depth=2, alpha=1.0)
+
+    rows = cli_main([
+        "--run_dir", str(run),
+        "--dataset_class", "SyntheticDataset",
+        "--SyntheticDataset.resolution", "16",
+        "--SyntheticDataset.num_items", "64",
+        "--num_samples", "16", "--minibatch", "8",
+        "--nhoods_per_image", "16", "--nhood_size", "5", "--min_res", "8",
+        "--dir_repeats", "2", "--dirs_per_repeat", "16",
+        "--real_baseline", "False", "--msssim", "False",
+    ])
+    assert len(rows) == 2
+    assert rows[0]["generator_path"].endswith("generator-000001.dat")
+    assert rows[1]["generator_path"].endswith("generator-ema-000002.dat")
+    hist = os.path.join(str(run), "eval_history.jsonl")
+    with open(hist) as f:
+        lines = [json.loads(l) for l in f]
+    assert [r["swd_avg"] for r in lines] == [r["swd_avg"] for r in rows]
