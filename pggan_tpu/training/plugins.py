@@ -373,17 +373,24 @@ class OutputGenerator(Plugin):
     ``cur_nimg // 1000`` as the description."""
 
     def __init__(self, sample_fn, output_postprocessors, samples_count=6,
-                 output_snapshot_ticks=3):
+                 output_snapshot_ticks=3, use_ema=True):
         super().__init__([(output_snapshot_ticks, "epoch"), (1, "end")])
         self.sample_fn = sample_fn
         self.output_postprocessors = output_postprocessors
         self.samples_count = samples_count
+        # sample from the smoothed generator when --g_ema_beta keeps one
+        # (Karras samples from Gs, not the live G); --OutputGenerator.use_ema
+        # False forces live-G samples for debugging
+        self.use_ema = use_ema
 
     def epoch(self, epoch_index):
         trainer = self.trainer
         z = np.asarray(self.sample_fn(self.samples_count), dtype=np.float32)
         apply_fn = trainer.builder.sample_fn(trainer.depth)
-        out = apply_fn(trainer.state.g_params, z, trainer.alpha)
+        g_ema = getattr(trainer.state, "g_ema", None)
+        params = g_ema if (self.use_ema and g_ema is not None) \
+            else trainer.state.g_params
+        out = apply_fn(params, z, trainer.alpha)
         out_nchw = np.asarray(out).transpose(0, 3, 1, 2)  # NHWC -> NCHW
         for proc in self.output_postprocessors:
             try:

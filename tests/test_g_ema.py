@@ -170,3 +170,33 @@ def test_cli_ema_snapshot_roundtrip(tmp_path):
                  jax.tree_util.tree_leaves(live_params))
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                for a, b in leaves)
+
+
+def test_output_generator_samples_from_ema():
+    """OutputGenerator draws from the smoothed G when one exists (Karras
+    samples from Gs), the live G otherwise or when use_ema=False."""
+    from types import SimpleNamespace
+
+    from pggan_tpu.training.plugins import OutputGenerator
+
+    captured = {}
+
+    def fake_apply(p, z, a):
+        captured["params"] = p
+        return np.zeros((len(z), 4, 4, 1), np.float32)
+
+    def make_trainer(g_ema):
+        state = TrainState("live", "d", None, None, None, g_ema)
+        return SimpleNamespace(builder=SimpleNamespace(
+            sample_fn=lambda d: fake_apply),
+            state=state, depth=0, alpha=1.0, cur_nimg=1000)
+
+    def run(trainer, **kw):
+        og = OutputGenerator(lambda n: np.zeros((n, 8), np.float32), [], **kw)
+        og.register(trainer)
+        og.epoch(1)
+        return captured.pop("params")
+
+    assert run(make_trainer("smoothed")) == "smoothed"
+    assert run(make_trainer("smoothed"), use_ema=False) == "live"
+    assert run(make_trainer(None)) == "live"
