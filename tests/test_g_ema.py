@@ -200,3 +200,25 @@ def test_output_generator_samples_from_ema():
     assert run(make_trainer("smoothed")) == "smoothed"
     assert run(make_trainer("smoothed"), use_ema=False) == "live"
     assert run(make_trainer(None)) == "live"
+
+
+def test_ema_under_data_parallel_mesh():
+    """EMA leaf rides the replicated state sharding through the grouped
+    sharded step (GSPMD; 8 virtual devices)."""
+    from pggan_tpu.parallel.mesh import data_parallel_mesh
+
+    G, D, opt, state = _fresh()
+    builder = TrainStepBuilder(G, D, opt, g_ema_beta=BETA,
+                               mesh=data_parallel_mesh(8))
+    gstep = builder.group_step_fn(DEPTH, 8, fade=False, group=2)
+    res = 4 * 2 ** DEPTH
+    reals = np.random.RandomState(2).randn(2, 1, 8, res, res, 1).astype(
+        np.float32)
+    ones = np.ones((2,), np.float32)
+    before = _get(state.g_ema)
+    state, metrics = gstep(state, reals, ones, ones * 1e-2, ones * 1e-2)
+    assert np.isfinite(np.asarray(metrics["G_loss"])).all()
+    after = _get(state.g_ema)
+    moved = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(after), jax.tree_util.tree_leaves(before)))
+    assert moved > 0
