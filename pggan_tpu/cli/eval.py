@@ -204,7 +204,16 @@ def evaluate(params):
             rows = []
             for p in snaps:
                 print(f"\n=== {os.path.basename(p)} ===")
-                payload, _, _ = _score_snapshot(p, dataset, params)
+                try:
+                    payload, _, _ = _score_snapshot(p, dataset, params)
+                except ValueError as e:
+                    if "min_res" not in str(e):
+                        raise
+                    # A progressive run's earliest snapshots (4-8 px) sit
+                    # below the SWD protocol's coarsest pyramid level; skip
+                    # them rather than abort the whole curve.
+                    print(f"  skipped (below SWD min_res): {e}")
+                    continue
                 rows.append(payload)
                 with open(out + ".tmp", "w") as f:
                     for r in rows:

@@ -276,6 +276,9 @@ def test_eval_history_mode(tmp_path):
     ema_params = G.init(jax.random.PRNGKey(7))
     save_snapshot(str(run / "network-snapshot-generator-ema-000002.dat"),
                   G, ema_params, depth=2, alpha=1.0)
+    # a 4px depth-0 snapshot (below min_res) must be skipped, not abort
+    save_snapshot(str(run / "network-snapshot-generator-000000.dat"),
+                  G, G.init(jax.random.PRNGKey(9)), depth=0, alpha=1.0)
 
     rows = cli_main([
         "--run_dir", str(run),
