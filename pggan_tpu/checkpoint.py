@@ -74,6 +74,23 @@ def load_snapshot(path: str):
     return model, payload["params"], meta
 
 
+def snapshot_kimg(path: str) -> int:
+    """kimg encoded in a snapshot filename; -1 when absent. The single
+    source of truth for the ``...-{kimg:06}.dat`` suffix (used by train's
+    resume-latest, generate/eval's latest resolution, and eval history)."""
+    import re
+    m = re.search(r"-(\d+)\.dat$", path)
+    return int(m.group(1)) if m else -1
+
+
+def ema_twin(path: str) -> str | None:
+    """Path of the ``generator-ema`` twin of a plain generator snapshot if
+    one exists on disk, else None."""
+    ema = path.replace("network-snapshot-generator-",
+                       "network-snapshot-generator-ema-")
+    return ema if ema != path and os.path.exists(ema) else None
+
+
 def resolve_generator_path(path: str, result_dir: str = "results",
                            prefer_ema: bool = True) -> str:
     """Resolve ``--generator_path latest`` for the generate/eval CLIs: the
@@ -87,27 +104,20 @@ def resolve_generator_path(path: str, result_dir: str = "results",
     if path != "latest":
         return path
     import glob
-    import re
     cands = [p for p in glob.glob(
         os.path.join(result_dir, "**", "network-snapshot-generator-*.dat"),
         recursive=True) if "-generator-ema-" not in p]
     if not cands:
         raise SystemExit(f"--generator_path latest: no generator snapshots "
                          f"under {result_dir}")
-
-    def kimg(p):
-        m = re.search(r"-(\d+)\.dat$", p)
-        return int(m.group(1)) if m else -1
-
     by_dir = {}
     for p in cands:
         by_dir.setdefault(os.path.dirname(p), []).append(p)
     run_dir = max(by_dir, key=lambda d: max(map(os.path.getmtime, by_dir[d])))
-    best = max(by_dir[run_dir], key=kimg)
+    best = max(by_dir[run_dir], key=snapshot_kimg)
     if prefer_ema:
-        ema = best.replace("network-snapshot-generator-",
-                           "network-snapshot-generator-ema-")
-        if os.path.exists(ema):
+        ema = ema_twin(best)
+        if ema:
             return ema
     return best
 

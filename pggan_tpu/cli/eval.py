@@ -86,16 +86,28 @@ def _build_dataset(params):
                     "dataset_class needs to be specified.")
 
 
-def _score_snapshot(path, dataset, params):
-    """Score ONE generator snapshot against ``dataset`` (set to the
-    snapshot's own depth/alpha); returns ``(payload, results, baseline)``."""
+def _swd_kwargs(params):
+    return dict(nhoods_per_image=params["nhoods_per_image"],
+                nhood_size=params["nhood_size"],
+                min_res=params["min_res"],
+                dir_repeats=params["dir_repeats"],
+                dirs_per_repeat=params["dirs_per_repeat"],
+                minibatch=params["minibatch"])
+
+
+def _reals_and_floors(dataset, depth, alpha, params, cache=None):
+    """Reals sample + estimator floors for one (depth, alpha) stage:
+    ``(reals, swd_baseline_or_None, msssim_real_or_None)``.
+
+    Everything here depends only on the stage and the seed — not on the
+    snapshot — so history mode passes a cache dict: a run whose snapshots
+    share a stage would otherwise recompute the identical real-vs-real SWD
+    (as expensive as the real-vs-fake scoring) once per snapshot."""
+    key = (int(depth), round(float(alpha), 6))
+    if cache is not None and key in cache:
+        return cache[key]
     num = params["num_samples"]
     mb = params["minibatch"]
-    G, g_params, meta = load_snapshot(path)
-    depth, alpha = meta["depth"], meta["alpha"]
-    print(f"Snapshot: depth {depth}, alpha {alpha}, "
-          f"latent {G.latent_size}")
-
     dataset.model_depth = depth
     dataset.alpha = alpha
     rng = np.random.RandomState(params["random_seed"])
@@ -110,32 +122,52 @@ def _score_snapshot(path, dataset, params):
     print(f"Collecting {draw} real images at depth {depth}...")
     all_reals = np.stack([dataset[i] for i in idx])  # (N,H,W,C) in [-1, 1]
     reals, reals_b = all_reals[:num], all_reals[num:]
+    baseline = ms_real = None
+    if want_baseline:
+        baseline = swd(reals, reals_b, jax.random.PRNGKey(
+            params["random_seed"]), **_swd_kwargs(params))
+    if params["msssim"] and min(reals.shape[1], reals.shape[2]) >= 11:
+        from pggan_tpu.metrics.msssim import pairwise_msssim
+        ms_real = pairwise_msssim(
+            reals, jax.random.PRNGKey(params["random_seed"] + 1),
+            minibatch=mb)
+    out = (reals, baseline, ms_real)
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def _score_snapshot(path, dataset, params, stage_cache=None):
+    """Score ONE generator snapshot against ``dataset`` (set to the
+    snapshot's own depth/alpha); returns ``(payload, results, baseline)``."""
+    num = params["num_samples"]
+    mb = params["minibatch"]
+    G, g_params, meta = load_snapshot(path)
+    depth, alpha = meta["depth"], meta["alpha"]
+    print(f"Snapshot: depth {depth}, alpha {alpha}, "
+          f"latent {G.latent_size}")
+
+    reals, baseline, ms_real = _reals_and_floors(
+        dataset, depth, alpha, params, stage_cache)
 
     print(f"Generating {num} samples...")
+    rng = np.random.RandomState(params["random_seed"] + 2)
     apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, np.float32(alpha)))
     fakes = np.concatenate([
         np.asarray(apply_fn(g_params,
                             random_latents(mb, G.latent_size, rng)))
         for _ in range(num // mb)])
 
-    swd_kwargs = dict(nhoods_per_image=params["nhoods_per_image"],
-                      nhood_size=params["nhood_size"],
-                      min_res=params["min_res"],
-                      dir_repeats=params["dir_repeats"],
-                      dirs_per_repeat=params["dirs_per_repeat"],
-                      minibatch=mb)
     swd_key = jax.random.PRNGKey(params["random_seed"])
     print("Scoring (SWD x1e3, lower is better)...")
-    results = swd(reals, fakes, swd_key, **swd_kwargs)
-    baseline = (swd(reals, reals_b, swd_key, **swd_kwargs)
-                if want_baseline else None)
+    results = swd(reals, fakes, swd_key, **_swd_kwargs(params))
     for k, v in results.items():
         label = f"{k}px" if k != "avg" else "avg"
         floor = f"   (real-vs-real floor {baseline[k]:8.2f})" \
             if baseline else ""
         print(f"  swd[{label:>6}] = {v:8.2f}{floor}")
 
-    ms_fake = ms_real = None
+    ms_fake = None
     if params["msssim"] and min(reals.shape[1], reals.shape[2]) >= 11:
         # paper §5 mode-collapse statistic: mean MS-SSIM among random pairs
         # of one set — high fake-pair similarity vs the reals' own pairing
@@ -143,7 +175,6 @@ def _score_snapshot(path, dataset, params):
         from pggan_tpu.metrics.msssim import pairwise_msssim
         k_pair = jax.random.PRNGKey(params["random_seed"] + 1)
         ms_fake = pairwise_msssim(fakes, k_pair, minibatch=mb)
-        ms_real = pairwise_msssim(reals, k_pair, minibatch=mb)
         print(f"  msssim[ fakes] = {ms_fake:8.4f}   "
               f"(real-pair baseline {ms_real:8.4f}; ~baseline = healthy, "
               f"~1.0 = mode collapse)")
@@ -163,22 +194,14 @@ def _run_snapshots(run_dir: str) -> list[str]:
     """Every generator snapshot of a run, kimg-ascending; where a kimg has a
     generator-ema twin, the smoothed snapshot is scored instead."""
     import glob as _glob
-    import re
 
-    def kimg(p):
-        m = re.search(r"-(\d+)\.dat$", p)
-        return int(m.group(1)) if m else -1
+    from pggan_tpu.checkpoint import ema_twin, snapshot_kimg
 
     plain = sorted(
         (p for p in _glob.glob(os.path.join(
             run_dir, "network-snapshot-generator-*.dat"))
-         if "-generator-ema-" not in p), key=kimg)
-    out = []
-    for p in plain:
-        ema = p.replace("network-snapshot-generator-",
-                        "network-snapshot-generator-ema-")
-        out.append(ema if os.path.exists(ema) else p)
-    return out
+         if "-generator-ema-" not in p), key=snapshot_kimg)
+    return [ema_twin(p) or p for p in plain]
 
 
 def evaluate(params):
@@ -188,6 +211,15 @@ def evaluate(params):
     if num % mb:
         raise Exception(f"num_samples ({num}) must be a multiple of "
                         f"minibatch ({mb})")
+    if params["min_res"] < params["nhood_size"]:
+        # validate the flag combination ONCE up front: inside history mode
+        # the per-snapshot skip handler must only ever see the
+        # resolution-too-small ValueError, never this configuration error
+        # (which would silently skip every snapshot)
+        raise SystemExit(
+            f"--min_res ({params['min_res']}) must be >= --nhood_size "
+            f"({params['nhood_size']}): the coarsest pyramid level must "
+            f"fit at least one patch")
 
     dataset = _build_dataset(params)
     try:
@@ -202,10 +234,12 @@ def evaluate(params):
             out = params["output_json"] or os.path.join(
                 params["run_dir"], "eval_history.jsonl")
             rows = []
+            stage_cache = {}
             for p in snaps:
                 print(f"\n=== {os.path.basename(p)} ===")
                 try:
-                    payload, _, _ = _score_snapshot(p, dataset, params)
+                    payload, _, _ = _score_snapshot(p, dataset, params,
+                                                    stage_cache)
                 except ValueError as e:
                     if "min_res" not in str(e):
                         raise

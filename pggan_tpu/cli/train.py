@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 import pggan_tpu.data.datasets as dataset_module
 import pggan_tpu.postprocess as postprocess_module
-from pggan_tpu.checkpoint import load_snapshot, load_training_state
+from pggan_tpu.checkpoint import (
+    load_snapshot,
+    load_training_state,
+    snapshot_kimg,
+)
 from pggan_tpu.data.loader import DataIterator
 from pggan_tpu.models import Discriminator, Generator
 from pggan_tpu.parallel.mesh import (
@@ -159,15 +163,12 @@ def find_latest_snapshot(result_root: str) -> str:
         raise SystemExit(
             f"--resume_network latest: no snapshot pairs under {result_root}")
 
-    def kimg(p):
-        m = re.search(r"-(\d+)\.dat$", p)
-        return int(m.group(1)) if m else -1
-
     by_dir = {}
     for p in cands:
         by_dir.setdefault(os.path.dirname(p), []).append(p)
     run_dir = max(by_dir, key=lambda d: max(map(os.path.getmtime, by_dir[d])))
-    rel = os.path.relpath(max(by_dir[run_dir], key=kimg), result_root)
+    rel = os.path.relpath(max(by_dir[run_dir], key=snapshot_kimg),
+                          result_root)
     d, b = os.path.split(rel)
     return os.path.join(d, b.replace("network-snapshot-generator-",
                                      "network-snapshot-{}-"))
@@ -315,6 +316,15 @@ def main(params):
         # one device buffer would be a double donation.
         state = state._replace(g_ema=jax.tree_util.tree_map(
             lambda x: jnp.array(x), state.g_params))
+    elif g_ema_beta <= 0 and getattr(state, "g_ema", None) is not None:
+        # resume of an EMA run WITHOUT --g_ema_beta: the step would carry
+        # the restored average frozen forever, and OutputGenerator /
+        # SaverPlugin / '--generator_path latest' would keep preferring the
+        # ever-staler EMA twin over the live generator. Drop it instead.
+        logger.log("Resumed state has a generator EMA but --g_ema_beta is "
+                   "0; dropping the stale average (pass --g_ema_beta to "
+                   "keep smoothing it)")
+        state = state._replace(g_ema=None)
     builder = TrainStepBuilder(
         G, D, optimizer, d_training_repeats=d_repeats,
         iwass_lambda=params["iwass_lambda"],

@@ -144,9 +144,23 @@ class _H5Window:
         return self._n
 
     def __getitem__(self, item):
+        # Bound-check against the max_images cap ourselves: self._dset is the
+        # FULL on-disk array, so indexing it directly would silently serve
+        # images the cap excludes (and resolve negatives against the wrong
+        # length) where the preload=True path raises IndexError.
         if isinstance(item, (int, np.integer)):
-            return np.asarray(self._dset[int(item)]).transpose(1, 2, 0)
-        rows = _gather_rows(self._dset, item)
+            i = int(item)
+            if i < 0:
+                i += self._n
+            if not 0 <= i < self._n:
+                raise IndexError(f"index {item} out of range for "
+                                 f"{self._n} images")
+            return np.asarray(self._dset[i]).transpose(1, 2, 0)
+        items = np.asarray(item)
+        items = np.where(items < 0, items + self._n, items)
+        if items.size and (items.min() < 0 or items.max() >= self._n):
+            raise IndexError(f"indices out of range for {self._n} images")
+        rows = _gather_rows(self._dset, items)
         return rows.transpose(0, 2, 3, 1)
 
 
@@ -226,6 +240,11 @@ class H5Dataset(DepthDataset):
         return state
 
     def __setstate__(self, state):
+        # pkl caches written before the streaming mode lack these keys;
+        # the old class always preloaded and kept no handle
+        state.setdefault("preload", True)
+        state.setdefault("max_images", None)
+        state.setdefault("_h5", None)
         self.__dict__.update(state)
         if not self.preload:
             self._open()
@@ -337,25 +356,80 @@ class FolderDataset(DepthDataset):
                          if hasattr(self, k)},
         }
 
-    def _open_or_build_disk_pyramid(self):
+    def _open_or_build_disk_pyramid(self, build_timeout: float = 3600.0):
         import json
         meta_path = os.path.join(self.cache_dir, "meta.json")
-        fp = self._cache_fingerprint()
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                if json.load(f) == json.loads(json.dumps(fp)):
-                    for d in range(self.min_dataset_depth,
-                                   self.max_dataset_depth + 1):
-                        self._data[d] = np.load(self._level_path(d),
-                                                mmap_mode="r")
-                    return
-        self._build_disk_pyramid()
-        # meta written LAST: its presence marks a complete, consistent build
+        fp = json.loads(json.dumps(self._cache_fingerprint()))
+        if self._try_open_levels(meta_path, fp):
+            return
+        # Cold build. Multiple processes can get here at once (every host of
+        # a multi-host run constructs the dataset over a shared corpus dir);
+        # without exclusion they would interleave writes into the same
+        # level_XX.npy memmaps and the first meta.json would mark the
+        # corrupt result valid. One process wins the O_EXCL lock and builds;
+        # the rest wait for meta.json (written last) to appear.
         os.makedirs(self.cache_dir, exist_ok=True)
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(fp, f)
-        os.replace(tmp, meta_path)
+        lock_path = os.path.join(self.cache_dir, ".build_lock")
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            self._wait_for_build(meta_path, fp, lock_path, build_timeout)
+            return
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            self._build_disk_pyramid()
+            # meta written LAST: its presence marks a complete build
+            tmp = meta_path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(fp, f)
+            os.replace(tmp, meta_path)
+        finally:
+            os.close(fd)
+            os.unlink(lock_path)
+
+    def _try_open_levels(self, meta_path: str, fp: dict) -> bool:
+        """mmap every level if a complete cache with a matching fingerprint
+        exists; False on a cold/mismatched cache."""
+        import json
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as f:
+            if json.load(f) != fp:
+                return False
+        for d in range(self.min_dataset_depth, self.max_dataset_depth + 1):
+            self._data[d] = np.load(self._level_path(d), mmap_mode="r")
+        return True
+
+    def _wait_for_build(self, meta_path: str, fp: dict, lock_path: str,
+                        timeout: float):
+        """Another process holds the build lock: poll until its meta.json
+        lands, then open the finished cache."""
+        import json
+        import time
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta != fp:
+                    raise RuntimeError(
+                        f"disk pyramid cache at {self.cache_dir} was built "
+                        f"by a concurrent process with a DIFFERENT "
+                        f"fingerprint (corpus or feature params differ); "
+                        f"use a distinct cache_dir per configuration")
+                if self._try_open_levels(meta_path, fp):
+                    return
+            if not os.path.exists(lock_path):
+                # builder died without finishing: take over the build
+                self._open_or_build_disk_pyramid(
+                    build_timeout=deadline - time.monotonic())
+                return
+            time.sleep(1.0)
+        raise RuntimeError(
+            f"timed out ({timeout:.0f}s) waiting for another process to "
+            f"finish building the disk pyramid cache at {self.cache_dir}; "
+            f"if no builder is running, delete the stale "
+            f"{os.path.basename(lock_path)} file")
 
     def _level_path(self, depth: int) -> str:
         return os.path.join(self.cache_dir, f"level_{depth:02}.npy")

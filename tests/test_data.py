@@ -498,3 +498,115 @@ def test_sound_disk_pyramid_matches_host_path(tmp_path):
     for i in range(2):
         np.testing.assert_array_equal(
             np.asarray(ds.data[ds.max_dataset_depth][i]), ds.load_file(i))
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes: pre-streaming pickle compat, windowed max_images
+# bounds, and the disk-pyramid build lock.
+
+def test_h5_setstate_accepts_pre_streaming_pickles(tmp_path):
+    """pkl caches written by the pre-streaming H5Dataset carry no
+    preload/max_images/_h5 keys; __setstate__ must default them instead of
+    crashing on the first attribute read."""
+    path = str(tmp_path / "toy.h5")
+    _toy_h5(path)
+    ds = H5Dataset(path, preload=True)
+    ds.model_depth = 1
+    state = ds.__getstate__()
+    for k in ("preload", "max_images", "_h5"):
+        state.pop(k, None)
+    clone = H5Dataset.__new__(H5Dataset)
+    clone.__setstate__(state)
+    assert clone.preload is True and clone.max_images is None
+    clone.model_depth = 1
+    np.testing.assert_array_equal(clone[2], ds[2])
+
+
+def test_h5_windowed_respects_max_images_bounds(tmp_path):
+    """The windowed view must enforce the max_images cap exactly like the
+    preload path: IndexError past the cap, negatives resolved against the
+    CAPPED length (class docstring: 'Both modes serve identical items')."""
+    path = str(tmp_path / "toy.h5")
+    _toy_h5(path)
+    ram = H5Dataset(path, preload=True, max_images=4)
+    win = H5Dataset(path, preload=False, max_images=4)
+    ram.model_depth = win.model_depth = 2
+    np.testing.assert_array_equal(win[-1], ram[-1])
+    np.testing.assert_array_equal(win[3], ram[3])
+    with pytest.raises(IndexError):
+        win[4]
+    with pytest.raises(IndexError):
+        win[-5]
+    with pytest.raises(IndexError):
+        win.raw_batch([1, 4])
+    win.close()
+    ram.close()
+
+
+def _disk_pyramid_worker(data_dir, cache_dir, out_q):
+    """Module-level so multiprocessing can spawn it (datasets.py is
+    jax-free; the child never initializes XLA)."""
+    try:
+        ds = DefaultImageFolderDataset(data_dir, preload="disk",
+                                       imread_mode="L",
+                                       cache_dir=cache_dir)
+        ds.model_depth = (ds.max_dataset_depth
+                          - ds.model_dataset_depth_offset)
+        out_q.put(("ok", np.asarray(ds[0])))
+    except Exception as e:  # pragma: no cover - failure reporting
+        out_q.put(("err", repr(e)))
+
+
+def test_folder_disk_pyramid_concurrent_build(tmp_path):
+    """Two processes hitting a COLD shared cache dir (every host of a
+    multi-host run constructs the dataset): the O_EXCL build lock must make
+    one build while the other waits, and both must serve correct items."""
+    import multiprocessing as mp
+    data_dir = str(tmp_path / "imgs")
+    os.makedirs(data_dir)
+    _write_pngs(data_dir, n=5, size=32, channels=1)
+    cache_dir = str(tmp_path / "cache")
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_disk_pyramid_worker,
+                         args=(data_dir, cache_dir, q)) for _ in range(2)]
+    for p in procs:
+        p.start()
+    outs = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+    assert all(tag == "ok" for tag, _ in outs), outs
+
+    ram = DefaultImageFolderDataset(data_dir, preload=True, imread_mode="L")
+    ram.model_depth = ram.max_dataset_depth - ram.model_dataset_depth_offset
+    want = np.asarray(ram[0])
+    for _, got in outs:
+        np.testing.assert_array_equal(got, want)
+    # the finished cache carries no leftover lock
+    assert not os.path.exists(os.path.join(cache_dir, ".build_lock"))
+
+
+def test_folder_disk_pyramid_takes_over_dead_builder(tmp_path):
+    """A stale lock with no meta (builder crashed mid-build) must not
+    deadlock: the waiter takes over the build when the lock disappears, and
+    a fresh constructor with no lock present rebuilds from scratch."""
+    data_dir = str(tmp_path / "imgs")
+    os.makedirs(data_dir)
+    _write_pngs(data_dir, n=3, size=16, channels=1)
+    cache_dir = str(tmp_path / "cache")
+    os.makedirs(cache_dir)
+    lock = os.path.join(cache_dir, ".build_lock")
+    open(lock, "w").close()
+
+    import threading
+    timer = threading.Timer(1.0, os.unlink, args=(lock,))
+    timer.start()
+    try:
+        ds = DefaultImageFolderDataset(data_dir, preload="disk",
+                                       imread_mode="L",
+                                       cache_dir=cache_dir)
+    finally:
+        timer.cancel()
+    ds.model_depth = ds.max_dataset_depth - ds.model_dataset_depth_offset
+    assert ds[0].shape == (16, 16, 1)

@@ -222,3 +222,51 @@ def test_ema_under_data_parallel_mesh():
     moved = max(float(np.abs(a - b).max()) for a, b in zip(
         jax.tree_util.tree_leaves(after), jax.tree_util.tree_leaves(before)))
     assert moved > 0
+
+
+def test_resume_without_beta_drops_stale_ema(tmp_path):
+    """Resuming an EMA run WITHOUT --g_ema_beta must drop the restored
+    average: otherwise the step carries it frozen and OutputGenerator /
+    SaverPlugin / '--generator_path latest' keep preferring an ever-staler
+    EMA twin over the live generator (round-4 review finding)."""
+    from PIL import Image
+
+    from pggan_tpu.cli.train import cli_main
+
+    data_dir = str(tmp_path / "imgs")
+    os.makedirs(data_dir)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 256, (16, 16), dtype=np.uint8),
+                        "L").save(os.path.join(data_dir, f"i{i}.png"))
+    results = str(tmp_path / "results")
+    common = [
+        "--result_dir", results, "--exp_name", "r",
+        "--dataset_class", "DefaultImageFolderDataset",
+        "--DefaultImageFolderDataset.dir_path", data_dir,
+        "--DefaultImageFolderDataset.preload", "True",
+        "--DefaultImageFolderDataset.model_initial_depth", "1",
+        "--progressive_growing", "False",
+        "--num_data_workers", "2",
+        "--minibatch_size", "8",
+        "--Trainer.tick_nimg_default", "48",
+        "--Generator.latent_size", "8", "--Generator.fmap_base", "32",
+        "--Generator.fmap_max", "16", "--Discriminator.fmap_base", "32",
+        "--Discriminator.fmap_max", "16",
+        "--data_parallel", "False",
+    ]
+    cli_main(common + ["--total_kimg", "0.1", "--g_ema_beta", "0.95"])
+    run1 = glob.glob(os.path.join(results, "*-r"))[0]
+    assert glob.glob(os.path.join(
+        run1, "network-snapshot-generator-ema-*.dat"))
+
+    # resume with the default beta 0 -> the stale average must be dropped
+    cli_main(common + ["--total_kimg", "0.2", "--resume_network", "latest"])
+    run2 = sorted(glob.glob(os.path.join(results, "*-r")))[-1]
+    assert run2 != run1
+    log = open(os.path.join(run2, "log.txt")).read()
+    assert "dropping the stale average" in log
+    assert not glob.glob(os.path.join(
+        run2, "network-snapshot-generator-ema-*.dat"))
+    # the live generator still snapshots and trains
+    assert glob.glob(os.path.join(run2, "network-snapshot-generator-*.dat"))

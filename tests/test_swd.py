@@ -297,3 +297,56 @@ def test_eval_history_mode(tmp_path):
     with open(hist) as f:
         lines = [json.loads(l) for l in f]
     assert [r["swd_avg"] for r in lines] == [r["swd_avg"] for r in rows]
+
+
+def test_eval_rejects_min_res_below_nhood_size():
+    """The flag-combination error must fail fast up front — inside history
+    mode it would otherwise be swallowed by the per-snapshot skip and write
+    an empty curve (round-4 review finding)."""
+    from pggan_tpu.cli.eval import cli_main
+    with pytest.raises(SystemExit, match="min_res"):
+        cli_main([
+            "--generator_path", "missing.dat",
+            "--dataset_class", "SyntheticDataset",
+            "--min_res", "4",  # below the default nhood_size 7
+        ])
+
+
+def test_eval_history_caches_stage_floors(tmp_path, monkeypatch):
+    """History mode computes the real-vs-real floor ONCE per (depth, alpha)
+    stage: k same-stage snapshots must cost k fake-scoring swd calls plus a
+    single baseline call, not 2k."""
+    from pggan_tpu.checkpoint import save_snapshot
+    import pggan_tpu.cli.eval as ev
+    from pggan_tpu.models.generator import Generator
+
+    G = Generator(dataset_shape=(64, 3, 16, 16), fmap_base=64, fmap_max=16,
+                  latent_size=8)
+    run = tmp_path / "run"
+    os.makedirs(run)
+    for kimg, seed in ((1, 0), (2, 1)):
+        save_snapshot(str(run / f"network-snapshot-generator-{kimg:06}.dat"),
+                      G, G.init(jax.random.PRNGKey(seed)), depth=2, alpha=1.0)
+
+    calls = {"n": 0}
+    real_swd = ev.swd
+
+    def counting_swd(*a, **k):
+        calls["n"] += 1
+        return real_swd(*a, **k)
+
+    monkeypatch.setattr(ev, "swd", counting_swd)
+    rows = ev.cli_main([
+        "--run_dir", str(run),
+        "--dataset_class", "SyntheticDataset",
+        "--SyntheticDataset.resolution", "16",
+        "--SyntheticDataset.num_items", "64",
+        "--num_samples", "16", "--minibatch", "8",
+        "--nhoods_per_image", "16", "--nhood_size", "5", "--min_res", "8",
+        "--dir_repeats", "2", "--dirs_per_repeat", "16",
+        "--msssim", "False",
+    ])
+    assert len(rows) == 2
+    assert calls["n"] == 3  # 2 fake scorings + 1 shared baseline
+    # both rows carry the identical cached floor
+    assert rows[0]["swd_baseline_avg"] == rows[1]["swd_baseline_avg"]
