@@ -233,9 +233,24 @@ def evaluate(params):
                                  f"generator snapshots found")
             out = params["output_json"] or os.path.join(
                 params["run_dir"], "eval_history.jsonl")
+            # Resume: a prior (possibly interrupted) pass left one JSON row
+            # per scored snapshot — keep those rows and skip their snapshots,
+            # so a curve over N slow TPU evals survives a dropped tunnel.
+            # Keyed by basename: the same snapshot scored from a different
+            # staging dir still counts.
             rows = []
+            done = set()
+            if os.path.exists(out):
+                with open(out) as f:
+                    rows = [json.loads(line) for line in f if line.strip()]
+                done = {os.path.basename(r["generator_path"]) for r in rows}
+                if done:
+                    print(f"Resuming: {len(done)} snapshots already scored "
+                          f"in {out}")
             stage_cache = {}
             for p in snaps:
+                if os.path.basename(p) in done:
+                    continue
                 print(f"\n=== {os.path.basename(p)} ===")
                 try:
                     payload, _, _ = _score_snapshot(p, dataset, params,

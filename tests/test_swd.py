@@ -350,3 +350,58 @@ def test_eval_history_caches_stage_floors(tmp_path, monkeypatch):
     assert calls["n"] == 3  # 2 fake scorings + 1 shared baseline
     # both rows carry the identical cached floor
     assert rows[0]["swd_baseline_avg"] == rows[1]["swd_baseline_avg"]
+
+
+def test_eval_history_resumes_interrupted_curve(tmp_path, monkeypatch):
+    """An interrupted history pass leaves a partial eval_history.jsonl; the
+    re-run must keep those rows, skip their snapshots (keyed by basename, so
+    a different staging dir still counts), and score only the remainder."""
+    from pggan_tpu.checkpoint import save_snapshot
+    import pggan_tpu.cli.eval as ev
+    from pggan_tpu.models.generator import Generator
+
+    G = Generator(dataset_shape=(64, 3, 16, 16), fmap_base=64, fmap_max=16,
+                  latent_size=8)
+    run = tmp_path / "run"
+    os.makedirs(run)
+    for kimg, seed in ((1, 0), (2, 1), (3, 2)):
+        save_snapshot(str(run / f"network-snapshot-generator-{kimg:06}.dat"),
+                      G, G.init(jax.random.PRNGKey(seed)), depth=2, alpha=1.0)
+
+    args = [
+        "--run_dir", str(run),
+        "--dataset_class", "SyntheticDataset",
+        "--SyntheticDataset.resolution", "16",
+        "--SyntheticDataset.num_items", "64",
+        "--num_samples", "16", "--minibatch", "8",
+        "--nhoods_per_image", "16", "--nhood_size", "5", "--min_res", "8",
+        "--dir_repeats", "2", "--dirs_per_repeat", "16",
+        "--real_baseline", "False", "--msssim", "False",
+    ]
+    full = ev.cli_main(args)
+    assert len(full) == 3
+
+    # Simulate the interruption: drop the last row, re-point the surviving
+    # rows at a DIFFERENT directory (the staging-dir case), and re-run.
+    hist = run / "eval_history.jsonl"
+    with open(hist) as f:
+        lines = [json.loads(l) for l in f]
+    for r in lines[:2]:
+        r["generator_path"] = os.path.join(
+            "/elsewhere", os.path.basename(r["generator_path"]))
+    with open(hist, "w") as f:
+        for r in lines[:2]:
+            f.write(json.dumps(r) + "\n")
+
+    scored = []
+    real_score = ev._score_snapshot
+
+    def counting_score(path, *a, **k):
+        scored.append(os.path.basename(path))
+        return real_score(path, *a, **k)
+
+    monkeypatch.setattr(ev, "_score_snapshot", counting_score)
+    rows = ev.cli_main(args)
+    assert scored == ["network-snapshot-generator-000003.dat"]
+    assert len(rows) == 3
+    assert [r["swd_avg"] for r in rows] == [r["swd_avg"] for r in full]
