@@ -44,10 +44,10 @@ from pggan_tpu.utils.config import (
     get_all_classes,
     get_structured_params,
 )
+from pggan_tpu.sampling import sample_images
 from pggan_tpu.utils.misc import (
     enable_persistent_compilation_cache,
     load_pkl,
-    random_latents,
 )
 
 default_params = {
@@ -152,11 +152,8 @@ def _score_snapshot(path, dataset, params, stage_cache=None):
 
     print(f"Generating {num} samples...")
     rng = np.random.RandomState(params["random_seed"] + 2)
-    apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, np.float32(alpha)))
-    fakes = np.concatenate([
-        np.asarray(apply_fn(g_params,
-                            random_latents(mb, G.latent_size, rng)))
-        for _ in range(num // mb)])
+    fakes = sample_images(G, g_params, depth, alpha, num,
+                          minibatch=mb, rng=rng)
 
     swd_key = jax.random.PRNGKey(params["random_seed"])
     print("Scoring (SWD x1e3, lower is better)...")
@@ -208,9 +205,16 @@ def evaluate(params):
     enable_persistent_compilation_cache()
     num = params["num_samples"]
     mb = params["minibatch"]
+    if mb <= 0:
+        raise SystemExit(f"--minibatch must be positive, got {mb}")
     if num % mb:
-        raise Exception(f"num_samples ({num}) must be a multiple of "
-                        f"minibatch ({mb})")
+        # the SWD scorer streams descriptors in fixed minibatch chunks so
+        # every chunk reuses ONE compiled program (metrics/swd.py); the
+        # sampler could pad a remainder, but the scorer can't — keep the
+        # contract visible up front
+        raise SystemExit(f"num_samples ({num}) must be a multiple of "
+                         f"minibatch ({mb}) — the SWD scorer streams "
+                         f"fixed-size chunks")
     if params["min_res"] < params["nhood_size"]:
         # validate the flag combination ONCE up front: inside history mode
         # the per-snapshot skip handler must only ever see the

@@ -26,15 +26,14 @@ from pggan_tpu.utils.config import (
     get_all_classes,
     get_structured_params,
 )
-from pggan_tpu.utils.misc import (
-    enable_persistent_compilation_cache,
-    random_latents,
-)
+from pggan_tpu.sampling import sample_images
+from pggan_tpu.utils.misc import enable_persistent_compilation_cache
 
 default_params = {
     "generator_path": "",   # a snapshot path, or 'latest' (see result_dir)
     "result_dir": "results",  # search root for --generator_path latest
     "num_samples": 6,
+    "minibatch": 0,  # 0 = one forward (reference parity); k = serve chunks
     "postprocessors": [],
     "description": "unknown",
     "random_seed": 0,
@@ -42,20 +41,19 @@ default_params = {
 
 
 def output_samples(generator_path, num_samples, postprocessors, description,
-                   random_seed=0, result_dir="results"):
+                   random_seed=0, result_dir="results", minibatch=0):
     enable_persistent_compilation_cache()
     from pggan_tpu.checkpoint import resolve_generator_path
     generator_path = resolve_generator_path(generator_path, result_dir)
     print(f"Loading {generator_path}")
     G, params, meta = load_snapshot(generator_path)
-    latent_size = G.latent_size
-    print("Sampling noise...")
+    n_dev = jax.device_count()
+    print(f"Generating ({n_dev} device{'s' if n_dev > 1 else ''}, "
+          f"minibatch {minibatch or num_samples})...")
     rng = np.random.RandomState(random_seed)
-    z = random_latents(num_samples, latent_size, rng)
-    print("Generating...")
-    apply_fn = jax.jit(lambda p, zz: G.apply(p, zz, meta["depth"],
-                                             meta["alpha"]))
-    out = np.asarray(apply_fn(params, z)).transpose(0, 3, 1, 2)  # -> NCHW
+    out = sample_images(G, params, meta["depth"], meta["alpha"], num_samples,
+                        minibatch=minibatch, rng=rng)
+    out = out.transpose(0, 3, 1, 2)  # -> NCHW for the postprocessors
     print("Done.")
     for proc in postprocessors:
         print(f"Outputting for postprocessor: {proc}")
@@ -79,7 +77,8 @@ def cli_main(argv=None):
                       for x in params["postprocessors"]]
     output_samples(params["generator_path"], params["num_samples"],
                    postprocessors, params["description"],
-                   params["random_seed"], params["result_dir"])
+                   params["random_seed"], params["result_dir"],
+                   params["minibatch"])
 
 
 if __name__ == "__main__":
