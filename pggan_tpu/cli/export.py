@@ -34,7 +34,7 @@ default_params = {
     "generator_path": "",    # a snapshot path, or 'latest' (see result_dir)
     "result_dir": "results",
     "out": "exported/generator",
-    "batch": 16,             # frozen serving batch (one compiled shape)
+    "batch": 16,             # frozen serving batch; <=0 = polymorphic 'b'
     "platforms": [],         # e.g. ['tpu'] / ['cpu','tpu']; [] = current
     "verify": True,          # round-trip: deserialize, run, compare
 }
@@ -47,8 +47,16 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
     G, params, meta = load_snapshot(generator_path)
     depth, alpha = meta["depth"], meta["alpha"]
     res = 4 * 2 ** depth
+    poly = int(batch) <= 0
+    if poly and G._pallas_tail_start(depth) is not None:
+        # the Pallas tail's grid needs a concrete batch; polymorphic
+        # serving takes the pure-XLA graph (same values, test-pinned)
+        import dataclasses
+        G = dataclasses.replace(G, pallas_tail=False)
+        print("Polymorphic batch: Pallas tail disabled (pure-XLA graph)")
     print(f"Exporting depth {depth} ({res}x{res}), alpha {alpha}, "
-          f"batch {batch}, platforms {list(platforms) or 'default'}")
+          f"batch {'polymorphic (b)' if poly else batch}, "
+          f"platforms {list(platforms) or 'default'}")
     exported = export_generator(G, params, depth, alpha, batch,
                                 platforms=platforms or None)
     artifact, sidecar = save_exported(exported, out, {
@@ -56,7 +64,7 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
         "depth": int(depth),
         "alpha": float(alpha),
         "resolution": res,
-        "batch": int(batch),
+        "batch": "polymorphic" if poly else int(batch),
         "latent_size": int(G.latent_size),
     })
     print(f"Wrote {artifact} + {sidecar}")
@@ -68,17 +76,21 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
                   f"{list(exported.platforms)}, host backend is "
                   f"{jax.default_backend()}); serialization round-trip only.")
         loaded = load_exported(artifact)
-        z = np.random.RandomState(0).randn(
-            batch, G.latent_size).astype(np.float32)
         if can_run:
-            got = np.asarray(loaded.call(z))
-            want = np.asarray(jax.jit(
-                lambda zz: G.apply(params, zz, depth, np.float32(alpha)))(z))
-            err = float(np.max(np.abs(got - want)))
-            if not np.allclose(got, want, atol=1e-5):
-                raise SystemExit(f"verify FAILED: max|diff|={err:.3e}")
-            print(f"Verify: round-trip output matches direct apply "
-                  f"(max|diff|={err:.3e})")
+            direct = jax.jit(
+                lambda zz: G.apply(params, zz, depth, np.float32(alpha)))
+            # a polymorphic artifact must hold at more than one batch size
+            for n in ((4, 7) if poly else (batch,)):
+                z = np.random.RandomState(n).randn(
+                    n, G.latent_size).astype(np.float32)
+                got = np.asarray(loaded.call(z))
+                want = np.asarray(direct(z))
+                err = float(np.max(np.abs(got - want)))
+                if not np.allclose(got, want, atol=1e-5):
+                    raise SystemExit(
+                        f"verify FAILED at batch {n}: max|diff|={err:.3e}")
+                print(f"Verify: batch {n} round-trip matches direct apply "
+                      f"(max|diff|={err:.3e})")
     return artifact
 
 

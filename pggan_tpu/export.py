@@ -21,6 +21,9 @@ Artifact layout (``<out>.stablehlo`` + ``<out>.json``):
 The program takes a single ``(batch, latent_size) float32`` argument and
 returns ``(batch, H, W, C) float32``; ``batch`` is frozen at export time
 (one compiled shape — the serving pattern ``sampling.py`` already uses).
+Passing ``batch <= 0`` instead exports a *polymorphic* batch (the symbolic
+dimension ``b``): one artifact serves any batch size, at the cost of the
+pure-XLA graph (the Pallas NHCW tail needs a concrete batch for its grid).
 """
 
 from __future__ import annotations
@@ -39,14 +42,26 @@ def export_generator(G, params, depth, alpha, batch, *, platforms=None):
 
     ``params`` are closed over — the artifact is self-contained.
     ``platforms`` is a sequence like ``("tpu",)`` / ``("cpu", "tpu")``;
-    None exports for the current default backend.
+    None exports for the current default backend. ``batch <= 0`` exports
+    with a symbolic batch dimension ``b`` — requires a generator without
+    an active Pallas tail at this depth (``cli/export.py`` rebuilds with
+    ``pallas_tail=False`` automatically).
     """
     alpha = np.float32(alpha)
 
     def forward(z):
         return G.apply(params, z, depth, alpha)
 
-    z_spec = jax.ShapeDtypeStruct((int(batch), G.latent_size), np.float32)
+    if int(batch) <= 0:
+        if G._pallas_tail_start(depth) is not None:
+            raise ValueError(
+                "polymorphic-batch export requires the pure-XLA generator "
+                "graph (the Pallas tail's grid needs a concrete batch); "
+                "rebuild with dataclasses.replace(G, pallas_tail=False)")
+        shape = jax_export.symbolic_shape(f"b, {G.latent_size}")
+    else:
+        shape = (int(batch), G.latent_size)
+    z_spec = jax.ShapeDtypeStruct(shape, np.float32)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)

@@ -68,6 +68,40 @@ def test_cli_end_to_end(tiny_g, tmp_path):
     assert meta["source_snapshot"] == str(snap)
 
 
+def test_polymorphic_batch_serves_any_size(tiny_g, tmp_path):
+    """batch <= 0 exports the symbolic dimension 'b': one artifact, any
+    serving batch, values identical to the direct apply."""
+    G, params = tiny_g
+    exported = export_generator(G, params, 2, 1.0, -1)
+    assert "b,16" in str(exported.in_avals[0]).replace(" ", "")
+    artifact, sidecar = save_exported(
+        exported, str(tmp_path / "poly"), {"batch": "polymorphic"})
+    loaded = load_exported(artifact)
+    direct = jax.jit(lambda zz: G.apply(params, zz, 2, np.float32(1.0)))
+    for n in (2, 5):
+        z = np.random.RandomState(n).randn(n, 16).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(loaded.call(z)),
+                                   np.asarray(direct(z)), atol=1e-6)
+    assert json.load(open(sidecar))["batch"] == "polymorphic"
+
+
+def test_polymorphic_batch_pallas_guard():
+    """An active Pallas tail (concrete-batch grid) must refuse polymorphic
+    export with a clear error; the pallas_tail=False rebuild (what the CLI
+    does) traces and exports fine."""
+    import dataclasses
+    G = Generator((1, 3, 128, 128), latent_size=16, fmap_base=512,
+                  fmap_max=32)
+    params = G.init(jax.random.PRNGKey(0))
+    assert G._pallas_tail_start(5) is not None  # tail active at 128px
+    with pytest.raises(ValueError, match="polymorphic-batch"):
+        export_generator(G, params, 5, 1.0, 0)
+    G2 = dataclasses.replace(G, pallas_tail=False)
+    exported = export_generator(G2, params, 5, 1.0, 0)
+    z = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    assert np.asarray(exported.call(z)).shape == (3, 128, 128, 3)
+
+
 def test_cross_platform_export_serializes(tiny_g, tmp_path):
     """Exporting FOR tpu from a cpu host must lower and serialize (deploy
     artifacts are built off-device); execution is naturally skipped."""
