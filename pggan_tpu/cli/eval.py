@@ -183,7 +183,12 @@ def _score_snapshot(path, dataset, params, stage_cache=None):
     if ms_fake is not None:
         payload.update(msssim_fakes=ms_fake, msssim_reals=ms_real)
     payload.update(generator_path=path, depth=depth, alpha=alpha,
-                   num_samples=num)
+                   num_samples=num,
+                   # identity fingerprint for history-mode resume: snapshots
+                   # are kimg-named identically across runs, so basename
+                   # alone can't tell "same snapshot, different staging dir"
+                   # from "different run entirely"
+                   snapshot_bytes=os.path.getsize(path))
     return payload, results, baseline
 
 
@@ -240,21 +245,32 @@ def evaluate(params):
             # Resume: a prior (possibly interrupted) pass left one JSON row
             # per scored snapshot — keep those rows and skip their snapshots,
             # so a curve over N slow TPU evals survives a dropped tunnel.
-            # Keyed by basename: the same snapshot scored from a different
-            # staging dir still counts.
+            # Keyed by basename (the same snapshot scored from a different
+            # staging dir still counts), guarded by the snapshot's byte size
+            # and the row's num_samples: kimg-numbered basenames repeat
+            # across runs, and a reused --output_json from ANOTHER run must
+            # re-score rather than silently return the stale curve.
             rows = []
-            done = set()
+            done = {}
             if os.path.exists(out):
                 with open(out) as f:
                     rows = [json.loads(line) for line in f if line.strip()]
-                done = {os.path.basename(r["generator_path"]) for r in rows}
+                done = {os.path.basename(r["generator_path"]):
+                        r.get("snapshot_bytes")
+                        for r in rows if r.get("num_samples") == num}
                 if done:
                     print(f"Resuming: {len(done)} snapshots already scored "
                           f"in {out}")
             stage_cache = {}
+            _MISS = object()
             for p in snaps:
-                if os.path.basename(p) in done:
-                    continue
+                base = os.path.basename(p)
+                prior = done.get(base, _MISS)
+                if prior is not _MISS:
+                    if prior is None or prior == os.path.getsize(p):
+                        continue  # legacy row (no fingerprint) or same file
+                    print(f"  re-scoring {base}: resumed row's snapshot size "
+                          f"differs (row from a different run?)")
                 print(f"\n=== {os.path.basename(p)} ===")
                 try:
                     payload, _, _ = _score_snapshot(p, dataset, params,
@@ -267,6 +283,10 @@ def evaluate(params):
                     # them rather than abort the whole curve.
                     print(f"  skipped (below SWD min_res): {e}")
                     continue
+                # a fresh score supersedes any stale same-name row (size
+                # mismatch above, or a row scored at another num_samples)
+                rows = [r for r in rows
+                        if os.path.basename(r["generator_path"]) != base]
                 rows.append(payload)
                 with open(out + ".tmp", "w") as f:
                     for r in rows:

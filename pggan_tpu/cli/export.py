@@ -48,12 +48,12 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
     depth, alpha = meta["depth"], meta["alpha"]
     res = 4 * 2 ** depth
     poly = int(batch) <= 0
-    if poly and G._pallas_tail_start(depth) is not None:
-        # the Pallas tail's grid needs a concrete batch; polymorphic
-        # serving takes the pure-XLA graph (same values, test-pinned)
+    if getattr(G, "pallas_tail", False):
+        # artifacts always take the portable pure-XLA graph (export.py
+        # module docstring); strip here too so the verify reference below
+        # is the same program
         import dataclasses
         G = dataclasses.replace(G, pallas_tail=False)
-        print("Polymorphic batch: Pallas tail disabled (pure-XLA graph)")
     print(f"Exporting depth {depth} ({res}x{res}), alpha {alpha}, "
           f"batch {'polymorphic (b)' if poly else batch}, "
           f"platforms {list(platforms) or 'default'}")
@@ -70,7 +70,10 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
     print(f"Wrote {artifact} + {sidecar}")
 
     if verify:
-        can_run = jax.default_backend() in exported.platforms
+        backend = jax.default_backend()
+        # jax reports 'gpu' where export platforms say 'cuda'/'rocm'
+        compat = {"gpu", "cuda", "rocm"} if backend == "gpu" else {backend}
+        can_run = bool(compat & set(exported.platforms))
         if not can_run:
             print(f"Verify: skipped execution (artifact targets "
                   f"{list(exported.platforms)}, host backend is "
@@ -78,7 +81,8 @@ def export_main(generator_path, out, batch, platforms=(), verify=True,
         loaded = load_exported(artifact)
         if can_run:
             direct = jax.jit(
-                lambda zz: G.apply(params, zz, depth, np.float32(alpha)))
+                lambda zz: G.apply(params, zz, depth, np.float32(alpha),
+                                   fade=bool(alpha < 1.0)))
             # a polymorphic artifact must hold at more than one batch size
             for n in ((4, 7) if poly else (batch,)):
                 z = np.random.RandomState(n).randn(

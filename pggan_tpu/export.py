@@ -22,12 +22,20 @@ The program takes a single ``(batch, latent_size) float32`` argument and
 returns ``(batch, H, W, C) float32``; ``batch`` is frozen at export time
 (one compiled shape — the serving pattern ``sampling.py`` already uses).
 Passing ``batch <= 0`` instead exports a *polymorphic* batch (the symbolic
-dimension ``b``): one artifact serves any batch size, at the cost of the
-pure-XLA graph (the Pallas NHCW tail needs a concrete batch for its grid).
+dimension ``b``): one artifact serves any batch size.
+
+Artifacts always take the generator's pure-XLA graph (``pallas_tail`` is
+stripped): Pallas lowers either to Mosaic custom calls (not in StableHLO's
+compatibility surface, and tied to the producing libtpu) or — on a non-TPU
+host — to the *interpret-mode emulation*, which would silently bake an
+orders-of-magnitude-slower program into a cross-lowered TPU artifact. The
+in-process serving path (``sampling.py``) keeps the Pallas envelope; AOT
+trades it for a portable, future-proof program.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 
@@ -43,21 +51,20 @@ def export_generator(G, params, depth, alpha, batch, *, platforms=None):
     ``params`` are closed over — the artifact is self-contained.
     ``platforms`` is a sequence like ``("tpu",)`` / ``("cpu", "tpu")``;
     None exports for the current default backend. ``batch <= 0`` exports
-    with a symbolic batch dimension ``b`` — requires a generator without
-    an active Pallas tail at this depth (``cli/export.py`` rebuilds with
-    ``pallas_tail=False`` automatically).
+    with a symbolic batch dimension ``b``. The Pallas tail is stripped
+    (portable pure-XLA graph, same values — see module docstring);
+    ``alpha == 1`` additionally takes the fade-free graph.
     """
     alpha = np.float32(alpha)
+    if getattr(G, "pallas_tail", False):
+        G = dataclasses.replace(G, pallas_tail=False)
+    # stable snapshots never pay the full-res prev-toRGB + blend path
+    fade = bool(alpha < 1.0)
 
     def forward(z):
-        return G.apply(params, z, depth, alpha)
+        return G.apply(params, z, depth, alpha, fade=fade)
 
     if int(batch) <= 0:
-        if G._pallas_tail_start(depth) is not None:
-            raise ValueError(
-                "polymorphic-batch export requires the pure-XLA generator "
-                "graph (the Pallas tail's grid needs a concrete batch); "
-                "rebuild with dataclasses.replace(G, pallas_tail=False)")
         shape = jax_export.symbolic_shape(f"b, {G.latent_size}")
     else:
         shape = (int(batch), G.latent_size)

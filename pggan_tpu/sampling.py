@@ -44,7 +44,12 @@ def sample_images(G, params, depth, alpha, num_samples, *,
     """
     if rng is None:
         rng = np.random.RandomState(0)
+    if int(num_samples) <= 0:
+        raise ValueError(f"num_samples must be positive, got {num_samples}")
     alpha = np.float32(alpha)
+    # stable snapshots (alpha == 1) serve the fade-free graph: identical
+    # values, none of the full-resolution prev-toRGB + blend work
+    fade = bool(alpha < 1.0)
     chunk = int(minibatch) if minibatch else int(num_samples)
     if chunk <= 0:
         raise ValueError(f"minibatch/num_samples must be positive, "
@@ -54,6 +59,7 @@ def sample_images(G, params, depth, alpha, num_samples, *,
     padded = ((chunk + n_dev - 1) // n_dev) * n_dev
 
     shard_in = None
+    saved_mesh = None
     if n_dev > 1:
         from pggan_tpu.parallel.mesh import (
             data_parallel_mesh, replicate, shard_batch)
@@ -61,19 +67,30 @@ def sample_images(G, params, depth, alpha, num_samples, *,
             mesh = data_parallel_mesh()
         params = replicate(params, mesh)
         shard_in = lambda z: shard_batch(z, mesh)  # noqa: E731
+        # pallas_call is opaque to GSPMD: the model wraps its Pallas tail in
+        # shard_map ONLY over an attached mesh (the contract training uses,
+        # training/steps.py) — without it the partitioner all-gathers around
+        # the kernels and every device computes the full batch
+        saved_mesh = (G.mesh, G.batch_axis)
+        G.mesh, G.batch_axis = mesh, mesh.axis_names[0]
 
-    apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, alpha))
+    apply_fn = jax.jit(lambda p, z: G.apply(p, z, depth, alpha, fade=fade))
 
     outs = []
     done = 0
-    while done < num_samples:
-        take = min(chunk, num_samples - done)
-        z = random_latents(take, G.latent_size, rng)
-        if take < padded:  # fixed program shape: pad, run, slice
-            z = np.concatenate(
-                [z, np.zeros((padded - take, G.latent_size), z.dtype)])
-        if shard_in is not None:
-            z = shard_in(z)
-        outs.append(np.asarray(apply_fn(params, z))[:take])
-        done += take
+    try:
+        while done < num_samples:
+            take = min(chunk, num_samples - done)
+            z = random_latents(take, G.latent_size, rng)
+            if take < padded:  # fixed program shape: pad, run, slice
+                z = np.concatenate(
+                    [z, np.zeros((padded - take, G.latent_size), z.dtype)])
+            if shard_in is not None:
+                z = shard_in(z)
+            # slice on device: padding rows never cross the host link
+            outs.append(np.asarray(apply_fn(params, z)[:take]))
+            done += take
+    finally:
+        if saved_mesh is not None:
+            G.mesh, G.batch_axis = saved_mesh
     return np.concatenate(outs) if len(outs) > 1 else outs[0]

@@ -70,8 +70,12 @@ def main():
     want_bf16 = "--bf16" in args
     batch_override = None
     if "--batch" in args:
-        batch_override = int(args[args.index("--batch") + 1])
-        del args[args.index("--batch"):args.index("--batch") + 2]
+        i = args.index("--batch")
+        try:
+            batch_override = int(args[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("usage: --batch N (an integer)")
+        del args[i:i + 2]
     only = [int(a) for a in args if a.isdigit()]
     depths = only or list(range(9))
 

@@ -85,21 +85,45 @@ def test_polymorphic_batch_serves_any_size(tiny_g, tmp_path):
     assert json.load(open(sidecar))["batch"] == "polymorphic"
 
 
-def test_polymorphic_batch_pallas_guard():
-    """An active Pallas tail (concrete-batch grid) must refuse polymorphic
-    export with a clear error; the pallas_tail=False rebuild (what the CLI
-    does) traces and exports fine."""
-    import dataclasses
+def test_pallas_tail_stripped_from_artifacts():
+    """Artifacts must carry the portable pure-XLA graph: Pallas lowers to
+    Mosaic custom calls (not StableHLO-stable) on TPU hosts and to the
+    interpret-mode *emulation* elsewhere — a cross-lowered TPU artifact
+    built on a CPU host would otherwise silently embed the emulator."""
     G = Generator((1, 3, 128, 128), latent_size=16, fmap_base=512,
                   fmap_max=32)
     params = G.init(jax.random.PRNGKey(0))
     assert G._pallas_tail_start(5) is not None  # tail active at 128px
-    with pytest.raises(ValueError, match="polymorphic-batch"):
-        export_generator(G, params, 5, 1.0, 0)
-    G2 = dataclasses.replace(G, pallas_tail=False)
-    exported = export_generator(G2, params, 5, 1.0, 0)
+    exported = export_generator(G, params, 5, 1.0, 0, platforms=("tpu",))
+    mlir = exported.mlir_module()
+    # Pallas lowers to stablehlo.custom_call @tpu_custom_call (Mosaic); the
+    # MLIR's loc() metadata embeds Python function names, so don't grep for
+    # a bare "pallas" (this test's own name would match)
+    assert "tpu_custom_call" not in mlir and "mosaic" not in mlir.lower()
+    # the only custom calls allowed are jax_export's own portable
+    # @shape_assertion guards on the symbolic batch dim
+    import re
+    targets = set(re.findall(r"custom_call @(\w+)", mlir))
+    assert targets <= {"shape_assertion"}, targets
+    # values still match the in-process Pallas path (interpret on CPU)
+    exec_exported = export_generator(G, params, 5, 1.0, 0)
     z = np.random.RandomState(0).randn(3, 16).astype(np.float32)
-    assert np.asarray(exported.call(z)).shape == (3, 128, 128, 3)
+    got = np.asarray(exec_exported.call(z))
+    want = np.asarray(jax.jit(
+        lambda zz: G.apply(params, zz, 5, np.float32(1.0)))(z))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_stable_alpha_exports_fade_free_graph(tiny_g):
+    """alpha == 1 exports the fade-free graph (no dead prev-toRGB + blend
+    baked into the artifact) with values equal to the fade graph."""
+    G, params = tiny_g
+    exported = export_generator(G, params, 2, 1.0, 2)
+    z = np.random.RandomState(1).randn(2, 16).astype(np.float32)
+    want = np.asarray(jax.jit(
+        lambda zz: G.apply(params, zz, 2, np.float32(1.0), fade=True))(z))
+    np.testing.assert_allclose(np.asarray(exported.call(z)), want,
+                               atol=1e-6)
 
 
 def test_cross_platform_export_serializes(tiny_g, tmp_path):

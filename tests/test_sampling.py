@@ -69,3 +69,67 @@ def test_rejects_nonpositive_chunk(tiny_g):
     G, params = tiny_g
     with pytest.raises(ValueError):
         _sample(G, params, 0, 0)
+    with pytest.raises(ValueError):  # 0 % mb == 0 must not sneak through
+        _sample(G, params, 0, 4)
+
+
+def test_stable_alpha_serves_fade_free_graph(tiny_g):
+    """alpha == 1 must take the fade=False graph (no full-res prev-toRGB +
+    blend work) with values identical to the fade graph; mid-fade alphas
+    keep the blend."""
+    G, params = tiny_g
+    single = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    stable = sample_images(G, params, 2, 1.0, 4, mesh=single,
+                           rng=np.random.RandomState(3))
+    # params passed as a jit ARGUMENT (not closed over) so XLA compiles the
+    # exact program sample_images runs — closure constants fold differently
+    # and break bitwise equality
+    want = np.asarray(jax.jit(
+        lambda p, z: G.apply(p, z, 2, np.float32(1.0), fade=False))(
+            params, _latents_like(G, 4, 3)))
+    np.testing.assert_array_equal(stable, want)
+    mid = sample_images(G, params, 2, 0.25, 4, mesh=single,
+                        rng=np.random.RandomState(3))
+    want_mid = np.asarray(jax.jit(
+        lambda p, z: G.apply(p, z, 2, np.float32(0.25), fade=True))(
+            params, _latents_like(G, 4, 3)))
+    np.testing.assert_array_equal(mid, want_mid)
+
+
+def _latents_like(G, n, seed):
+    from pggan_tpu.utils.misc import random_latents
+    return random_latents(n, G.latent_size, np.random.RandomState(seed))
+
+
+def test_mesh_attached_for_pallas_tail():
+    """The serving path must hand the mesh to the model (training/steps.py
+    contract) so the Pallas tail runs under shard_map instead of being
+    replicated by GSPMD — and must restore the attribute afterwards."""
+    from unittest import mock
+
+    from pggan_tpu.ops import spatial
+
+    G = Generator((1, 3, 128, 128), latent_size=16, fmap_base=512,
+                  fmap_max=32)
+    params = G.init(jax.random.PRNGKey(0))
+    assert G._pallas_tail_start(5) is not None
+    assert G.mesh is None
+    seen = []
+    orig = spatial.shard_map_batch
+
+    def spy(fn, mesh, batch_axis, *a, **k):
+        seen.append((mesh, batch_axis))
+        return orig(fn, mesh, batch_axis, *a, **k)
+
+    with mock.patch.object(spatial, "shard_map_batch", side_effect=spy):
+        out = sample_images(G, params, 5, 1.0, 8, minibatch=8,
+                            rng=np.random.RandomState(0))
+    assert out.shape == (8, 128, 128, 3)
+    assert seen and seen[-1][0] is not None and seen[-1][0].size == \
+        jax.device_count(), "Pallas tail did not receive the serving mesh"
+    assert G.mesh is None and G.batch_axis == "data"  # restored
+    # sharded serving values match the single-device reference
+    single = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    ref = sample_images(G, params, 5, 1.0, 8, minibatch=8,
+                        rng=np.random.RandomState(0), mesh=single)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=1e-4)

@@ -405,3 +405,20 @@ def test_eval_history_resumes_interrupted_curve(tmp_path, monkeypatch):
     assert scored == ["network-snapshot-generator-000003.dat"]
     assert len(rows) == 3
     assert [r["swd_avg"] for r in rows] == [r["swd_avg"] for r in full]
+
+    # A row from a DIFFERENT run shares the kimg-numbered basename but not
+    # the snapshot bytes: it must be re-scored and superseded, never
+    # silently returned as this run's curve.
+    with open(hist) as f:
+        lines = [json.loads(l) for l in f]
+    lines[0]["snapshot_bytes"] = lines[0]["snapshot_bytes"] + 1
+    lines[0]["swd_avg"] = -1.0  # stale marker
+    with open(hist, "w") as f:
+        for r in lines:
+            f.write(json.dumps(r) + "\n")
+    scored.clear()
+    rows = ev.cli_main(args)
+    assert scored == ["network-snapshot-generator-000001.dat"]
+    assert len(rows) == 3
+    assert sorted(r["swd_avg"] for r in rows) == \
+        sorted(r["swd_avg"] for r in full)
