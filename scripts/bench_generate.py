@@ -100,7 +100,11 @@ def main():
             # checksum: it perturbs the latents, so every round's dispatch
             # is a distinct computation the runtime must actually execute.
             def body(acc, z):
-                img = G.apply(params, z + acc * 1e-6, depth, alpha)
+                # stable snapshots serve the fade-free graph (what
+                # cli/generate's sampling.py dispatches at alpha==1): the
+                # full-res prev-toRGB + blend path is statically absent
+                img = G.apply(params, z + acc * 1e-6, depth, alpha,
+                              fade=bool(alpha < 1.0))
                 return acc + jnp.mean(img), None
 
             acc, _ = jax.lax.scan(body, seed, zs)
