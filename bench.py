@@ -227,9 +227,19 @@ def main():
     self_ms = headline_self_time(builder, state, 5, MINIBATCH[5])
     extra = {}
     if self_ms:
+        self_kimg_h = MINIBATCH[5] / self_ms * 3600
         extra = {
             "self_time_ms_per_step": round(self_ms, 2),
-            "self_time_kimg_per_hour": round(MINIBATCH[5] / self_ms * 3600, 1),
+            "self_time_kimg_per_hour": round(self_kimg_h, 1),
+            "self_time_vs_baseline": round(
+                self_kimg_h / REFERENCE_ANCHOR_KIMG_PER_HOUR, 3),
+            # The headline stage is compute-bound, so even its HLO self-time
+            # tracks the shared chip's CLOCK (DVFS moves with co-tenant
+            # load): the same code has measured 40.8-48.2 ms/step across
+            # sessions (BASELINE.md rule 5b/5c). Cross-round comparisons
+            # should read this band, not a single session's draw — a value
+            # inside it is clock lottery, not a code change.
+            "clock_band_ms_per_step": [40.8, 48.2],
         }
     print(json.dumps({
         "metric": "kimg_per_hour_chip_128px",

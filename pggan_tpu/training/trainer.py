@@ -127,10 +127,19 @@ class Trainer:
 
     # -- run loop (reference trainer.py:71-83 semantics) ---------------------
     def run(self, total_kimg=1):
+        import time as _time
         total_nimg = total_kimg * 1000
         self.total_nimg = total_nimg
+        # the 's' queue is drained on wall-clock seconds since run() started
+        # (a plugin method named 's' fires every `interval` seconds, checked
+        # between iterations). The reference DECLARES this queue but never
+        # services it (its trainer.py:40-45 vs run loop 71-83) — a plugin
+        # registering on 's' there silently never fires; here it works.
+        run_start = _time.time()
         while self.cur_nimg < total_nimg:
             self.train()
+            if self.plugin_queues["s"]:
+                self.call_plugins("s", _time.time() - run_start)
             if (self.cur_nimg >= self.tick_start_nimg + self.tick_duration_nimg
                     or self.cur_nimg >= total_nimg):
                 self._rollover_tick()

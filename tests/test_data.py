@@ -610,3 +610,38 @@ def test_folder_disk_pyramid_takes_over_dead_builder(tmp_path):
         timer.cancel()
     ds.model_depth = ds.max_dataset_depth - ds.model_dataset_depth_offset
     assert ds[0].shape == (16, 16, 1)
+
+
+def test_sound_disk_pyramid_build_uses_device_stft(tmp_path, monkeypatch):
+    """The streaming ``preload="disk"`` cache build must batch through the
+    same on-device STFT program as the RAM preload (VERDICT r4 weak #7):
+    the cached top level is byte-identical to the RAM preload's
+    device-extracted level, and the per-file host STFT loop is never entered
+    during the build (load_file runs exactly once, for the constructor's
+    shape probe)."""
+    wav_dir = str(tmp_path / "wavs")
+    os.makedirs(wav_dir)
+    _write_wavs(wav_dir, n=3, num_samples=6000)
+    ram = SoundImageDataset(wav_dir, img_mode="abslog", n_fft=64,
+                            hop_length=16, preload=True)
+
+    calls = []
+    orig = SoundImageDataset.load_file
+
+    def counting_load_file(self, item):
+        calls.append(item)
+        return orig(self, item)
+
+    monkeypatch.setattr(SoundImageDataset, "load_file", counting_load_file)
+    disk = SoundImageDataset(wav_dir, img_mode="abslog", n_fft=64,
+                             hop_length=16, preload="disk",
+                             cache_dir=str(tmp_path / "cache"))
+    assert calls == [0], ("disk build fell back to the per-file host "
+                          f"loader: load_file called for items {calls}")
+    np.testing.assert_array_equal(
+        np.asarray(disk.data[disk.max_dataset_depth]),
+        np.asarray(ram.data[ram.max_dataset_depth]))
+    # derived levels byte-match too (built chunk-wise from the memmap)
+    np.testing.assert_array_equal(
+        np.asarray(disk.data[disk.min_dataset_depth]),
+        np.asarray(ram.data[ram.min_dataset_depth]))
