@@ -37,16 +37,21 @@ default_params = {
     "postprocessors": [],
     "description": "unknown",
     "random_seed": 0,
+    "inference_chain": False,  # fused conv-pair serving kernels
+                               # (ops/pallas_chain.py; forward-only)
 }
 
 
 def output_samples(generator_path, num_samples, postprocessors, description,
-                   random_seed=0, result_dir="results", minibatch=0):
+                   random_seed=0, result_dir="results", minibatch=0,
+                   inference_chain=False):
     enable_persistent_compilation_cache()
     from pggan_tpu.checkpoint import resolve_generator_path
     generator_path = resolve_generator_path(generator_path, result_dir)
     print(f"Loading {generator_path}")
     G, params, meta = load_snapshot(generator_path)
+    if inference_chain:
+        G.inference_chain = True  # serving-only fused conv pairs
     n_dev = jax.device_count()
     print(f"Generating ({n_dev} device{'s' if n_dev > 1 else ''}, "
           f"minibatch {minibatch or num_samples})...")
@@ -78,7 +83,7 @@ def cli_main(argv=None):
     output_samples(params["generator_path"], params["num_samples"],
                    postprocessors, params["description"],
                    params["random_seed"], params["result_dir"],
-                   params["minibatch"])
+                   params["minibatch"], params["inference_chain"])
 
 
 if __name__ == "__main__":

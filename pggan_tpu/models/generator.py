@@ -68,6 +68,11 @@ class Generator:
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic (MXU-rate)
     fused_scale: bool = True  # fuse upsample into the stage conv (exact)
     pallas_tail: bool = True  # spatial-lanes Pallas convs for the high-res tail
+    # SERVING-ONLY: fuse each tail block's conv pair into one Pallas kernel
+    # whose intermediate never touches HBM (ops/pallas_chain.py). The fused
+    # kernel is forward-only (no AD rules) — training through it fails
+    # loudly. Set by the sampling/serving entry points, never by train.
+    inference_chain: bool = False
     dtype: object = field(default=jnp.float32, repr=False)
 
     # Pallas-tail envelope: which growth stages join the NHCW tail is
@@ -186,6 +191,14 @@ class Generator:
 
         def stage(v, p):
             v = spatial.upsample_nearest_2x(v)
+            if (self.inference_chain and self.act == "lrelu"
+                    and spatial.chain_pair_supported(v.shape, p["c1"],
+                                                     p["c2"])):
+                # serving-only fused conv pair: the intermediate activation
+                # never round-trips HBM (forward-only, see inference_chain)
+                return spatial.conv3x3_block_pair(
+                    p["c1"], p["c2"], v, wscale=self.wscale,
+                    use_pixelnorm=self.pixelnorm, eps=self.eps)
             v = spatial.conv3x3_block(p["c1"], v, wscale=self.wscale,
                                    act=self.act,
                                    use_pixelnorm=self.pixelnorm, eps=self.eps)

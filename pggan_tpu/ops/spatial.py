@@ -114,6 +114,29 @@ def conv3x3_block(params: dict, x: jax.Array, *, wscale: bool = True,
     return pixelnorm_c(y, eps) if use_pixelnorm else y
 
 
+def conv3x3_block_pair(p1: dict, p2: dict, x: jax.Array, *,
+                       wscale: bool = True, use_pixelnorm: bool = True,
+                       eps: float = 1e-8) -> jax.Array:
+    """Both equalized 3x3 convs of a G growth block (c1 -> c2, each with the
+    bias/leaky-relu/pixelnorm epilogue) as ONE fused Pallas kernel whose
+    intermediate never touches HBM (ops/pallas_chain.py). FORWARD-ONLY —
+    serving path use (Generator.inference_chain); training keeps the
+    per-conv any-order-AD primitives."""
+    from pggan_tpu.ops.pallas_chain import conv3x3_chain
+    w1, w2 = p1["w"], p2["w"]
+    if wscale:
+        w1 = w1 * he_constant(9 * w1.shape[2])
+        w2 = w2 * he_constant(9 * w2.shape[2])
+    return conv3x3_chain(x, w1, p1["b"], w2, p2["b"], slope=0.2,
+                         pn_eps=eps if use_pixelnorm else None)
+
+
+def chain_pair_supported(x_shape, p1, p2) -> bool:
+    """Can the compiled chain kernel fuse this block's conv pair?"""
+    from pggan_tpu.ops.pallas_chain import chain_supported
+    return chain_supported(x_shape, p1["w"].shape, p2["w"].shape)
+
+
 def avg_pool_2x(x: jax.Array) -> jax.Array:
     """2x2 stride-2 average pool, NHCW (linear primitive whose transpose is
     the fast nearest-upsample — see ops/resample.py)."""

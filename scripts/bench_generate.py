@@ -29,12 +29,14 @@ estimator on the shared chip. Images are produced and reduced on device
 — fetching them would measure the tunnel, not the framework.
 
 Usage: scripts/bench_generate.py [--selftime] [--batch N] [--bf16] \
-           [DEPTH ...]
+           [--chain] [DEPTH ...]
 (default depths 0..8; default batch is the training-parity per-depth
 minibatch — pass --batch to measure a serving batch instead: inference
 holds no optimizer/GP state, so the tail depths serve far larger batches
 than they train. --bf16 sets Generator.compute_dtype=bfloat16 — a pure
-serving knob with none of training's GP second-order precision stakes)
+serving knob with none of training's GP second-order precision stakes.
+--chain sets Generator.inference_chain: each tail block's conv pair runs
+as ONE fused forward-only Pallas kernel, ops/pallas_chain.py)
 """
 
 import sys
@@ -68,6 +70,9 @@ def main():
     args = sys.argv[1:]
     want_selftime = "--selftime" in args
     want_bf16 = "--bf16" in args
+    want_chain = "--chain" in args  # fused conv-pair serving kernels
+    if want_chain:
+        args.remove("--chain")
     batch_override = None
     if "--batch" in args:
         i = args.index("--batch")
@@ -84,7 +89,8 @@ def main():
 
     shape = (1, 3, 1024, 1024)  # paper config, same as bench.py
     G = Generator(shape,
-                  compute_dtype="bfloat16" if want_bf16 else "float32")
+                  compute_dtype="bfloat16" if want_bf16 else "float32",
+                  inference_chain=want_chain)
     params = G.init(jax.random.PRNGKey(0))
     alpha = np.float32(1.0)
 
