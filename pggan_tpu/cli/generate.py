@@ -37,14 +37,17 @@ default_params = {
     "postprocessors": [],
     "description": "unknown",
     "random_seed": 0,
-    "inference_chain": False,  # fused conv-pair serving kernels
-                               # (ops/pallas_chain.py; forward-only)
+    "inference_chain": True,  # fused conv-pair serving kernels, default ON:
+                              # +9%/+14.5% img/s at depths 7/8 with bitwise
+                              # parity (BASELINE.md round-5 A/B); per-stage
+                              # auto-fallback to the plain pair on shapes the
+                              # kernel can't take (ops/pallas_chain.py)
 }
 
 
 def output_samples(generator_path, num_samples, postprocessors, description,
                    random_seed=0, result_dir="results", minibatch=0,
-                   inference_chain=False):
+                   inference_chain=True):
     enable_persistent_compilation_cache()
     from pggan_tpu.checkpoint import resolve_generator_path
     generator_path = resolve_generator_path(generator_path, result_dir)

@@ -17,6 +17,7 @@ at ``time + interval``.
 
 from __future__ import annotations
 
+import collections
 import heapq
 
 import numpy as np
@@ -47,7 +48,8 @@ class Trainer:
                  tick_nimg_default=2 * 1000,
                  resume_nimg=0,
                  resume_iterations=0,
-                 steps_per_dispatch=8):
+                 steps_per_dispatch=8,
+                 inflight_budget_mb=1024):
         self.G = G
         self.D = D
         self.builder = builder
@@ -56,6 +58,22 @@ class Trainer:
         # schedule is provably constant over the window — amortizes the
         # fixed per-dispatch host/runtime cost. 1 disables grouping.
         self.steps_per_dispatch = int(steps_per_dispatch)
+        # Dispatch backpressure: JAX enqueues asynchronously and the loss
+        # monitors only force completion at tick end, so on a lagging
+        # (contended / remote-attached) device the host can run a whole
+        # tick ahead — every in-flight dispatch pins its input batch plus
+        # the transfer copies in host RAM (measured: a depth-8 b3 windowed
+        # run grew +3-5 GB of peak RSS per 400-image tick, 29 GB by tick 5,
+        # while the data layer alone stays flat at 0.3 GB). Once the shipped
+        # input bytes of unfinished dispatches exceed this budget, the
+        # oldest dispatch is forced to completion with a true host fetch
+        # (``block_until_ready`` is a no-op on remote-backend arrays).
+        # Bytes, not dispatch count: small early-depth batches never
+        # throttle, only the stages whose batches are actually big enough
+        # to matter. 0 disables.
+        self.inflight_budget_mb = int(inflight_budget_mb)
+        self._inflight = collections.deque()  # (metric_handle, input_bytes)
+        self._inflight_bytes = 0
         # Pure lookahead hooks the schedule plugins install at registration:
         # ``schedule_horizon(nimg) -> float`` (images until (depth, alpha)
         # next changes; DepthManager) and ``lr_lookahead(nimg) ->
@@ -253,11 +271,33 @@ class Trainer:
 
         gstep = self.builder.group_step_fn(self.depth, batch,
                                            self.alpha < 1.0, group)
+        in_bytes = getattr(reals, "nbytes", 0)
         self.state, metrics = gstep(self.state, reals, alphas, lrs_d, lrs_g)
+        self._throttle_inflight(metrics, in_bytes)
         self.iterations += group
         self.call_plugins("iteration", self.iterations,
                           metrics["G_loss"], metrics["D_loss"],
                           metrics["D_real"], metrics["D_fake"])
+
+    def _throttle_inflight(self, metrics, input_bytes):
+        """Dispatch backpressure (see ``inflight_budget_mb``): remember one
+        small output handle per dispatch; once the input bytes shipped with
+        unfinished dispatches exceed the budget, force the OLDEST dispatch
+        to completion with a real host fetch. Fetching any output waits for
+        its whole executable, so this bounds host-pinned transfer memory at
+        ~budget while keeping the pipeline ``budget/batch_bytes`` dispatches
+        deep (tens of steps at the high depths). The fetched values are the
+        same arrays the loss monitors read at tick end — materializing them
+        early has no semantic effect."""
+        if not self.inflight_budget_mb:
+            return
+        self._inflight.append((metrics["D_loss"], int(input_bytes)))
+        self._inflight_bytes += int(input_bytes)
+        budget = self.inflight_budget_mb * (1024 * 1024)
+        while self._inflight_bytes > budget and len(self._inflight) > 1:
+            handle, nbytes = self._inflight.popleft()
+            self._inflight_bytes -= nbytes
+            np.asarray(handle)  # true round-trip even on remote backends
 
     def _fetch_reals(self, n_steps, alpha):
         """Assemble the real input for ``n_steps`` consecutive steps: fetch
@@ -312,10 +352,12 @@ class Trainer:
         # paths are statically removed instead of multiplying by zero.
         step = self.builder.step_fn(self.depth, batch,
                                     fade=self.alpha < 1.0)
+        in_bytes = getattr(reals, "nbytes", 0)
         self.state, metrics = step(self.state, reals,
                                    np.float32(self.alpha),
                                    np.float32(self.lr_d),
                                    np.float32(self.lr_g))
+        self._throttle_inflight(metrics, in_bytes)
 
         self.iterations += 1
         self.call_plugins("iteration", self.iterations,

@@ -352,3 +352,54 @@ def test_grouped_sharded_runs():
     state, metrics = gstep(state, reals, ones, 1e-3 * ones, 1e-3 * ones)
     assert jax.device_get(metrics["G_loss"]).shape == (group,)
     assert np.all(np.isfinite(jax.device_get(metrics["D_loss"])))
+
+
+# -- dispatch backpressure ----------------------------------------------------
+
+class _Handle:
+    """Fake device-array output: records when the trainer materializes it."""
+
+    def __init__(self, log, tag):
+        self._log, self._tag = log, tag
+
+    def __array__(self, dtype=None, copy=None):
+        self._log.append(self._tag)
+        return np.zeros((), np.float32)
+
+
+def test_inflight_throttle_bounds_bytes_and_fetches_oldest():
+    """``inflight_budget_mb``: once the input bytes of unfinished dispatches
+    exceed the budget, the OLDEST dispatch is forced to completion with a
+    real host fetch (np.asarray) — bounding host-pinned transfer memory on a
+    lagging device (BASELINE.md round-5: 29 GB peak RSS without it). Small
+    batches below the budget must never trigger a fetch."""
+    t = _bare_trainer(inflight_budget_mb=1)  # 1 MiB budget
+    fetched = []
+
+    def dispatch(tag, nbytes):
+        t._throttle_inflight({"D_loss": _Handle(fetched, tag)}, nbytes)
+
+    # small dispatches: stay under budget, zero sync overhead
+    for k in range(8):
+        dispatch(f"small{k}", 1024)
+    assert fetched == []
+    assert len(t._inflight) == 8
+    # big dispatches: budget binds; oldest handles are materialized first
+    dispatch("big0", 900 * 1024)
+    assert fetched == []  # 900K + 8K <= 1 MiB
+    dispatch("big1", 900 * 1024)
+    assert fetched[:8] == [f"small{k}" for k in range(8)]
+    assert "big0" in fetched  # drained until back under budget
+    # invariant: at least one dispatch always stays in flight (pipelining)
+    dispatch("huge", 10 * 1024 * 1024)
+    assert len(t._inflight) >= 1
+    assert t._inflight_bytes == sum(b for _, b in t._inflight)
+
+
+def test_inflight_throttle_disabled():
+    t = _bare_trainer(inflight_budget_mb=0)
+    fetched = []
+    for k in range(4):
+        t._throttle_inflight({"D_loss": _Handle(fetched, k)},
+                             100 * 1024 * 1024)
+    assert fetched == [] and len(t._inflight) == 0
