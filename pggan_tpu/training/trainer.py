@@ -62,15 +62,24 @@ class Trainer:
         # monitors only force completion at tick end, so on a lagging
         # (contended / remote-attached) device the host can run a whole
         # tick ahead — every in-flight dispatch pins its input batch plus
-        # the transfer copies in host RAM (measured: a depth-8 b3 windowed
-        # run grew +3-5 GB of peak RSS per 400-image tick, 29 GB by tick 5,
-        # while the data layer alone stays flat at 0.3 GB). Once the shipped
-        # input bytes of unfinished dispatches exceed this budget, the
-        # oldest dispatch is forced to completion with a true host fetch
-        # (``block_until_ready`` is a no-op on remote-backend arrays).
-        # Bytes, not dispatch count: small early-depth batches never
-        # throttle, only the stages whose batches are actually big enough
-        # to matter. 0 disables.
+        # the transfer copies in host RAM until the runtime completes it.
+        # Once the shipped input bytes of unfinished dispatches exceed this
+        # budget, the oldest dispatch is forced to completion with a true
+        # host fetch (``block_until_ready`` is a no-op on remote-backend
+        # arrays). Bytes, not dispatch count: small early-depth batches
+        # never throttle, only the stages whose batches are actually big
+        # enough to matter. 0 disables.
+        #
+        # Scope (measured, BASELINE.md round-5 "H5 windowed leg"): this
+        # bounds memory that is pinned BY PENDING DISPATCHES — the PJRT
+        # contract frees input staging on completion. The axon tunnel
+        # client in this environment additionally leaks EVERY transferred
+        # input literal unconditionally (+batch_bytes per dispatch,
+        # surviving completion, gc, and ``Array.delete()``;
+        # scripts/probe_literal_rss.py pins it — CPU backend flat, axon
+        # linear even for repeated identical literals), which no amount of
+        # throttling can reclaim; there, ship less (``device_input_prep``
+        # uint8 batches are 4x smaller).
         self.inflight_budget_mb = int(inflight_budget_mb)
         self._inflight = collections.deque()  # (metric_handle, input_bytes)
         self._inflight_bytes = 0

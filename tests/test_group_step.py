@@ -370,9 +370,11 @@ class _Handle:
 def test_inflight_throttle_bounds_bytes_and_fetches_oldest():
     """``inflight_budget_mb``: once the input bytes of unfinished dispatches
     exceed the budget, the OLDEST dispatch is forced to completion with a
-    real host fetch (np.asarray) — bounding host-pinned transfer memory on a
-    lagging device (BASELINE.md round-5: 29 GB peak RSS without it). Small
-    batches below the budget must never trigger a fetch."""
+    real host fetch (np.asarray) — bounding memory pinned by pending
+    dispatches on a lagging device (see the scope note in Trainer.__init__:
+    the axon tunnel client's unconditional literal leak is OUTSIDE what this
+    can reclaim). Small batches below the budget must never trigger a
+    fetch."""
     t = _bare_trainer(inflight_budget_mb=1)  # 1 MiB budget
     fetched = []
 
