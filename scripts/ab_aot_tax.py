@@ -9,10 +9,13 @@ in-process serving path (sampling.py with the Pallas envelope), same
 session, interleaved (BASELINE.md measurement rules: chained-checksum scan
 programs, host-fetch sync, min over alternating rounds):
 
-  A. pallas  — in-process G.apply, default Pallas tail (sampling.py path)
-  B. xla     — in-process G.apply with pallas_tail=False (what the
+  A. chain   — in-process G.apply, fused conv-pair serving chain ON
+               (cli/generate.py's shipping default)
+  B. pallas  — in-process G.apply, per-conv Pallas tail (training-parity
+               envelope, chain off)
+  C. xla     — in-process G.apply with pallas_tail=False (what the
                artifact's graph computes, pre-serialization)
-  C. aot     — the DESERIALIZED StableHLO artifact executed via
+  D. aot     — the DESERIALIZED StableHLO artifact executed via
                jax.export ``.call`` inside the same scan program
 
 B isolates the graph difference from the serialization round-trip: aot vs
@@ -50,6 +53,7 @@ def main():
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     shape = (1, 3, 1024, 1024)  # paper config, same as bench.py
+    G_chain = Generator(shape, inference_chain=True)
     G_pal = Generator(shape)
     G_xla = Generator(shape, pallas_tail=False)
     params = G_pal.init(jax.random.PRNGKey(0))
@@ -70,6 +74,8 @@ def main():
             return jax.jit(sample_many)
 
         fns = {
+            "chain": make_fn(lambda p, z: G_chain.apply(p, z, depth, 1.0,
+                                                        fade=False)),
             "pallas": make_fn(lambda p, z: G_pal.apply(p, z, depth, 1.0,
                                                        fade=False)),
             "xla": make_fn(lambda p, z: G_xla.apply(p, z, depth, 1.0,
@@ -105,7 +111,7 @@ def main():
         print(f"depth {depth} (b{batch}): " + "  ".join(
             f"{k} {per[k] * 1e3 * batch:8.2f} ms/batch "
             f"{1.0 / per[k]:9.1f} img/s" for k in fns)
-            + f"  -> aot tax x{per['aot'] / per['pallas']:.3f} "
+            + f"  -> aot tax x{per['aot'] / min(per['chain'], per['pallas']):.3f} "
             f"(serialize overhead x{per['aot'] / per['xla']:.3f})",
             flush=True)
 
